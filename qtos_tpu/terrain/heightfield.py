@@ -1,0 +1,127 @@
+"""Jittable heightfield terrain.
+
+World convention (matches the reference's arena layout): tiles are 2 m x 2 m,
+composed along +x; the robot starts at the center of the first tile, so a
+k-tile map spans x in [-1, 2k-1], y in [-1, 1] (reference:
+QTOS/generateHeightField.py:561 ``resolution = 1/(dim/2)``; default goals like
+``-g 4.5 0 0.24`` sit near the end of a 3-tile run).
+
+Unlike the reference — where the heightfield is a txt file copied into the
+solver's Docker container (QTOS/utils.py:21-22) and probed via PyBullet
+raycasts — the terrain here is a device array queried inside the NLP with
+bilinear interpolation, so height and gradient are differentiable and
+batchable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from qtos_tpu.terrain import tiles as tiles_lib
+
+
+@struct.dataclass
+class Terrain:
+    """Heightfield grid. rows = y, cols = x, cell size = resolution meters."""
+
+    height: jax.Array          # (H, W) float32 heights
+    resolution: float = struct.field(pytree_node=False, default=0.1)
+    origin: tuple = struct.field(pytree_node=False, default=(-1.0, -1.0))  # world xy of cell (0, 0) corner
+
+    @property
+    def extent(self):
+        h, w = self.height.shape
+        x0, y0 = self.origin
+        return (x0, y0, x0 + w * self.resolution, y0 + h * self.resolution)
+
+
+def make_terrain(
+    names: Sequence[str] | str = ("plane",),
+    scale_factor: int = 1,
+    randomize: bool = False,
+    rng: np.random.Generator | None = None,
+    random_height_amp: float = 0.02,
+) -> Terrain:
+    """Compose named tiles along +x into one Terrain.
+
+    ``scale_factor`` upsamples each cell (reference:
+    QTOS/generateHeightField.py:39-56 ``scale_map``), shrinking the cell size so
+    the world extent is unchanged.
+    """
+    if isinstance(names, str):
+        names = [names]
+    mats = [tiles_lib.tile(n) for n in names]
+    grid = np.concatenate(mats, axis=1)  # compose along x
+    if scale_factor > 1:
+        grid = np.kron(grid, np.ones((scale_factor, scale_factor), dtype=grid.dtype))
+    if randomize:
+        rng = rng or np.random.default_rng(0)
+        grid = grid + rng.uniform(0.0, random_height_amp, size=grid.shape).astype(grid.dtype)
+    res = 0.1 / scale_factor
+    return Terrain(height=jnp.asarray(grid, jnp.float32), resolution=res, origin=(-1.0, -1.0))
+
+
+def _cell_coords(terrain: Terrain, x, y):
+    x0, y0 = terrain.origin
+    H, W = terrain.height.shape
+    cx = (x - x0) / terrain.resolution - 0.5
+    cy = (y - y0) / terrain.resolution - 0.5
+    cx = jnp.clip(cx, 0.0, W - 1.001)
+    cy = jnp.clip(cy, 0.0, H - 1.001)
+    return cx, cy
+
+
+def height_at(terrain: Terrain, x, y):
+    """Bilinear height query; broadcasts over any shape of (x, y)."""
+    cx, cy = _cell_coords(terrain, x, y)
+    ix = jnp.floor(cx).astype(jnp.int32)
+    iy = jnp.floor(cy).astype(jnp.int32)
+    fx = cx - ix
+    fy = cy - iy
+    h = terrain.height
+    h00 = h[iy, ix]
+    h01 = h[iy, ix + 1]
+    h10 = h[iy + 1, ix]
+    h11 = h[iy + 1, ix + 1]
+    return (
+        h00 * (1 - fx) * (1 - fy)
+        + h01 * fx * (1 - fy)
+        + h10 * (1 - fx) * fy
+        + h11 * fx * fy
+    )
+
+
+def grad_at(terrain: Terrain, x, y):
+    """Analytic gradient (dh/dx, dh/dy) of the bilinear surface."""
+    cx, cy = _cell_coords(terrain, x, y)
+    ix = jnp.floor(cx).astype(jnp.int32)
+    iy = jnp.floor(cy).astype(jnp.int32)
+    fx = cx - ix
+    fy = cy - iy
+    h = terrain.height
+    h00 = h[iy, ix]
+    h01 = h[iy, ix + 1]
+    h10 = h[iy + 1, ix]
+    h11 = h[iy + 1, ix + 1]
+    dhdx = ((h01 - h00) * (1 - fy) + (h11 - h10) * fy) / terrain.resolution
+    dhdy = ((h10 - h00) * (1 - fx) + (h11 - h01) * fx) / terrain.resolution
+    return dhdx, dhdy
+
+
+def traversability_map(terrain: Terrain, height_bound: float = 0.2) -> jax.Array:
+    """Boolean obstacle map from local height discontinuity, the cheap analog
+    of the reference's solver-probed bool map (QTOS/planner.py:354-399 uses
+    ``height_bound = 0.2`` traversability; the expensive probe lives in
+    qtos_tpu.planner.feasibility)."""
+    h = terrain.height
+    pad = jnp.pad(h, 1, mode="edge")
+    neigh = jnp.stack(
+        [pad[:-2, 1:-1], pad[2:, 1:-1], pad[1:-1, :-2], pad[1:-1, 2:]], axis=0
+    )
+    jump = jnp.max(jnp.abs(neigh - h[None]), axis=0)
+    return (jump > height_bound).astype(jnp.float32)

@@ -1,0 +1,18 @@
+"""Test env: force CPU backend with 8 virtual devices so mesh/sharding tests
+run without TPU hardware (reference had no test suite at all — SURVEY.md §4).
+
+Note: the TPU platform plugin in this image force-registers itself and ignores
+the JAX_PLATFORMS env var, so we override via jax.config after import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_default_matmul_precision", "highest")
