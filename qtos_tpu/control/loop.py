@@ -1,0 +1,165 @@
+"""The 1 kHz control loop as one XLA computation.
+
+Per tick (reference: scripts/run.py:166-221): take the next trajectory row,
+re-express the planned feet in the live base frame (the ``towr_transform`` of
+QTOS/utils.py:412-436, including its ``ee_shift`` z offset), run IK, PD motor
+model, and step the physics.  The reference does this in Python at wall-clock
+1 kHz against PyBullet; here the whole episode is a `lax.scan` over the table,
+so a multi-second run is one device call — and batches over scenarios.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from qtos_tpu.models.solo12 import Solo12
+from qtos_tpu.ops.rotations import euler_to_rot
+from qtos_tpu.sim.engine import SimParams, SimState, init_state, sim_step
+from qtos_tpu.sim.motor import MotorParams, pd_torque
+from qtos_tpu.terrain.heightfield import Terrain
+
+
+@struct.dataclass
+class ControlParams:
+    motor: MotorParams = struct.field(default_factory=MotorParams)
+    sim: SimParams = struct.field(default_factory=SimParams)
+    # z offset applied to planned feet in the base frame. The reference uses
+    # 0.015 (utils.py:412 towr_transform) to compensate Bullet's foot-sphere
+    # radius; our engine has point feet, so the default is 0.
+    ee_shift: float = 0.0
+    use_force_ff: bool = struct.field(pytree_node=False, default=True)
+    # "live": re-express planned feet in the live base frame (the reference's
+    # towr_transform semantics — tolerates base lag, never corrects it; the
+    # stable choice). "plan": track planned world-frame feet against the live
+    # base pose — corrects lag but destabilizes under large errors.
+    frame: str = struct.field(pytree_node=False, default="live")
+    # Proportional correction of base lag applied to foot targets in "plan"
+    # mode (1.0 = full correction; high values fight slip but add stiffness).
+    base_corr: float = 1.0
+
+
+@struct.dataclass
+class TrackingMetrics:
+    """Per-episode tracking summary (reference: QTOS/tracking.py:90-200)."""
+
+    com_err: jax.Array        # (T,) per-tick CoM L2 error vs plan
+    ee_err: jax.Array         # (T,) mean foot L2 error vs plan
+    cum_com_err: jax.Array    # () cumulative CoM error
+    avg_com_err_per_s: jax.Array  # () the reference's headline metric (x1000 scale)
+
+
+def decode_row(row: jax.Array):
+    """Decode one 37-col row (reference: QTOS/utils.py:107-148)."""
+    return dict(
+        t=row[0],
+        r=row[1:4],
+        eul=row[4:7],
+        feet=row[7:19].reshape(4, 3),
+        v=row[19:22],
+        w=row[22:25],
+        f=row[25:37].reshape(4, 3),
+    )
+
+
+def plan_joint_targets(row, params: ControlParams):
+    """Planned joints for one row: towr_transform + IK (the hot per-tick math
+    of the reference loop — utils.py:412-436 then robot.py:372-418)."""
+    cmd = decode_row(row)
+    R_plan = euler_to_rot(cmd["eul"])
+    feet_b = (cmd["feet"] - cmd["r"]) @ R_plan    # R^T (p - r), rows
+    feet_b = feet_b.at[:, 2].add(params.ee_shift)
+    return Solo12.ik(feet_b), cmd
+
+
+def _tick(carry, row, terrain: Terrain, params: ControlParams):
+    state, q_des_prev = carry
+    q_des_plan, cmd = plan_joint_targets(row, params)
+    qd_des = (q_des_plan - q_des_prev) / params.sim.dt
+
+    if params.frame == "live":
+        q_des = q_des_plan
+    else:
+        # world-frame tracking: place feet at (lag-corrected) planned world
+        # positions relative to the live base pose
+        shift = (state.pos - cmd["r"]) * (1.0 - params.base_corr)
+        feet_t = cmd["feet"] + shift
+        from qtos_tpu.ops.rotations import quat_to_rot
+
+        R_live = quat_to_rot(state.quat)
+        feet_b = (feet_t - state.pos) @ R_live
+        feet_b = feet_b.at[:, 2].add(params.ee_shift)
+        q_des = Solo12.ik(feet_b)
+
+    tau_ff = None
+    if params.use_force_ff:
+        # feedforward: tau = -J^T R^T f  (reaction to planned contact force)
+        J = Solo12.jacobians(state.q)
+        R = euler_to_rot(state.eul)
+        f_b = cmd["f"] @ R
+        tau_ff = -jnp.einsum("lji,lj->li", J, f_b).reshape(12)
+
+    tau = pd_torque(params.motor, q_des, qd_des, state.q, state.qd, tau_ff)
+    new_state = sim_step(state, tau, terrain, params.sim)
+
+    com_err = jnp.linalg.norm(new_state.pos - cmd["r"])
+    feet_w = Solo12.fk_world(new_state.q, new_state.pos, new_state.eul)
+    ee_err = jnp.mean(jnp.linalg.norm(feet_w - cmd["feet"], axis=-1))
+    return (new_state, q_des_plan), (com_err, ee_err)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def playback(
+    table: jax.Array,
+    state0: SimState,
+    terrain: Terrain,
+    params: ControlParams = ControlParams(),
+):
+    """Run the control loop over a full (T, 37) table.
+
+    Returns (final_state, TrackingMetrics).
+    """
+    q_des0, _ = plan_joint_targets(table[0], params)
+    (final, _), (com_err, ee_err) = jax.lax.scan(
+        lambda c, r: _tick(c, r, terrain, params), (state0, q_des0), table
+    )
+    T = table.shape[0]
+    dt = params.sim.dt
+    cum = jnp.sum(com_err)
+    # reference metric: cumulative error / elapsed seconds, x1000
+    avg_per_s = cum / jnp.maximum(T, 1) * 1000.0
+    return final, TrackingMetrics(
+        com_err=com_err, ee_err=ee_err, cum_com_err=cum, avg_com_err_per_s=avg_per_s
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def stance_warmup(
+    state: SimState,
+    terrain: Terrain,
+    params: ControlParams = ControlParams(),
+    n_steps: int = 500,
+):
+    """Hold the initial joint configuration under PD until contact settles
+    (reference: scripts/run.py:151-163 stance phase, simulation.yml
+    stance_period 500)."""
+    q_hold = state.q
+
+    def tick(s, _):
+        tau = pd_torque(params.motor, q_hold, jnp.zeros(12), s.q, s.qd)
+        return sim_step(s, tau, terrain, params.sim), None
+
+    out, _ = jax.lax.scan(tick, state, None, length=n_steps)
+    return out
+
+
+def state_from_row(row, terrain: Terrain, params: ControlParams = ControlParams(), drop: float = 0.0) -> SimState:
+    """Initialize the sim at a trajectory row (teleport-start, the analog of
+    Simulation.start — reference QTOS/simulation.py:117-123).  Uses the same
+    ee_shift as the loop so tick 0 starts with zero joint error."""
+    cmd = decode_row(row)
+    q, _ = plan_joint_targets(row, params)
+    return init_state(cmd["r"] + jnp.array([0.0, 0.0, drop]), cmd["eul"], q)
