@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Headline benchmark: batched SOLO12 gait-NLP solves per second on one chip.
+
+Baseline: the reference's TOWR/IPOPT inner loop runs ~1.3 solves/s/core
+(logs/towr_log.out:81-82: ~0.75 s CPU per solve — see BASELINE.md).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_SOLVES_PER_S = 1.3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from qtos_tpu.solver import SolverConfig, default_spec
+    from qtos_tpu.solver.solve import solve_batch
+    from qtos_tpu.terrain import make_terrain
+
+    terrain = make_terrain(["plane", "plane", "plane"])
+    cfg = SolverConfig(max_iters=40)
+    K = 41
+
+    def build(batch):
+        goals = jnp.linspace(0.3, 0.8, batch)
+        return jax.vmap(lambda g: default_spec(terrain, goal_xy=(g, 0.0), K=K))(goals)
+
+    solve_c = jax.jit(lambda s: solve_batch(s, terrain, cfg))
+
+    import os
+
+    best = 0.0
+    sizes = tuple(
+        int(s) for s in os.environ.get("QTOS_BENCH_BATCHES", "512").split(",")
+    )
+    for B in sizes:
+        specs = build(B)
+        res = solve_c(specs)
+        jax.block_until_ready(res.x)          # compile + warm
+        t0 = time.time()
+        res = solve_c(specs)
+        jax.block_until_ready(res.x)
+        dt = time.time() - t0
+        rate = B / dt
+        conv = int(np.sum(np.asarray(res.status) == 0))
+        print(f"# B={B}: {dt:.3f}s -> {rate:.1f} solves/s ({conv}/{B} converged)", flush=True)
+        if rate > best:
+            best = rate
+
+    print(
+        json.dumps(
+            {
+                "metric": "gait_nlp_solves_per_s",
+                "value": round(best, 1),
+                "unit": "solves/s/chip",
+                "vs_baseline": round(best / BASELINE_SOLVES_PER_S, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

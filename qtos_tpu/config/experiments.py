@@ -1,0 +1,94 @@
+"""Experiment presets, mirroring data/config/experiment_*.yml of the reference.
+
+Map vocabulary and per-experiment terrain lists match the reference files
+(see each preset's comment).  `mesh_scale` upsamples tiles like the
+reference's scale_map (generateHeightField.py:39-56); large scales mainly
+matter for visual fidelity, so presets cap it where the reference used 10-11
+purely for rendering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    maps: tuple                     # tile names composed along +x
+    goal_xy: tuple                  # world goal
+    mesh_scale: int = 1
+    random_env: bool = False
+    bool_map_search: bool = False   # probe feasibility map with batched solves
+    avg_speed: float = 0.22
+    sim_steps: int = 31000          # reference SIM_STEPS
+    description: str = ""
+
+
+EXPERIMENTS: dict[str, ExperimentConfig] = {
+    # reference: experiment_1_straight_line.yml (['plane','plane'], goal 2.1)
+    "exp_1": ExperimentConfig(
+        "exp_1", ("plane", "plane"), (2.1, 0.0), mesh_scale=1,
+        description="straight line walk on flat ground",
+    ),
+    # reference: experiment_2_climbing.yml (['step','step_1','step_2','plane'], scale 5)
+    "exp_2": ExperimentConfig(
+        "exp_2", ("step", "step_1", "step_2", "plane"), (5.6, 0.0), mesh_scale=2,
+        sim_steps=21000, description="climbing over steps",
+    ),
+    # reference: experiment_3_collision_avoidance.yml (feasibility maps, bool_map_search)
+    "exp_3": ExperimentConfig(
+        "exp_3", ("feasibility", "feasibility_1", "plane"), (3.6, 0.0),
+        bool_map_search=True, sim_steps=61000,
+        description="collision avoidance around pillars",
+    ),
+    # reference: experiment_4_rough_terrain.yml (random_terrain x3, scale 5)
+    "exp_4": ExperimentConfig(
+        "exp_4", ("random_terrain", "random_terrain", "random_terrain"), (3.8, 0.0),
+        mesh_scale=2, sim_steps=60000, description="rough random terrain",
+    ),
+    # reference: experiment_5_extreme_climbing.yml (climb_2, climb_1, scale 11)
+    "exp_5": ExperimentConfig(
+        "exp_5", ("climb_2", "climb_1"), (2.2, 0.0), mesh_scale=2,
+        sim_steps=33000, description="extreme climbing",
+    ),
+    # reference: experiment_6_stairs.yml (stairs, stairs_1, stairs_1, plane)
+    "exp_6": ExperimentConfig(
+        "exp_6", ("stairs", "stairs_1", "stairs_1", "plane"), (5.5, 0.0),
+        mesh_scale=2, sim_steps=21000, description="staircases",
+    ),
+    # reference: experiment_7_climb_obstacle.yml (stairs, bridge)
+    "exp_7": ExperimentConfig(
+        "exp_7", ("stairs", "bridge"), (2.4, 0.0), mesh_scale=2,
+        sim_steps=33000, description="climb onto a bridge obstacle",
+    ),
+    # reference: experiment_8_dynamic_terrain.yml (plane, obstacle, plane)
+    "exp_8": ExperimentConfig(
+        "exp_8", ("plane", "obstacle", "plane"), (3.8, 0.0),
+        random_env=True, bool_map_search=True, sim_steps=61000,
+        description="obstacle field with randomized environment",
+    ),
+    # reference: experiment_9_continous_walking.yml (plane x7)
+    "exp_9": ExperimentConfig(
+        "exp_9", ("plane",) * 7, (11.5, 0.0), sim_steps=100000,
+        description="continuous long-distance walking",
+    ),
+    # reference: experiment_10_continous_climbing.yml (climb_2/climb_1 x5)
+    "exp_10": ExperimentConfig(
+        "exp_10", ("climb_2", "climb_1", "climb_2", "climb_1", "climb_2"), (7.5, 0.0),
+        mesh_scale=2, sim_steps=100000, description="continuous climbing",
+    ),
+    # reference: simulation_QTOS_test.yml — headless canned smoke config (-T)
+    "test": ExperimentConfig(
+        "test", ("plane", "plane"), (1.0, 0.0), sim_steps=5000,
+        description="headless smoke test replaying a canned trajectory",
+    ),
+}
+
+
+def get_experiment(name: str) -> ExperimentConfig:
+    key = name if name in EXPERIMENTS else f"exp_{name}"
+    try:
+        return EXPERIMENTS[key]
+    except KeyError as e:
+        raise KeyError(f"unknown experiment {name!r}; known: {sorted(EXPERIMENTS)}") from e

@@ -1,0 +1,245 @@
+"""Receding-horizon replanning — the flagship continuous-walking loop.
+
+Reference architecture (scripts/main.py:26-62 + QTOS/combiner.py): a Python
+thread re-invokes the Docker TOWR solver from a predicted future state found
+by scanning the trajectory CSV for an all-feet-in-contact row ~3750 rows
+ahead (``lookahead``), then truncate-and-concats CSVs while the sim consumes
+rows in real time (forced-execution prefix ``f_steps`` = 2500).
+
+Here the trajectory lives in a device ring buffer; stitching is a
+``lax.dynamic_update_slice``; the stitch row search is an argmax over the
+contact-mask buffer; planning is one jitted solve+sample call; execution is
+the jitted scan control loop.  The host loop only sequences windows.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qtos_tpu.control.loop import ControlParams, playback, decode_row, state_from_row, stance_warmup
+from qtos_tpu.models.solo12 import Solo12
+from qtos_tpu.planner.global_planner import GlobalPlanner
+from qtos_tpu.solver.gait import trot_schedule
+from qtos_tpu.solver.sampler import sample_trajectory
+from qtos_tpu.solver.solve import solve
+from qtos_tpu.solver.spec import ProblemSpec, RobotState, SolverConfig
+from qtos_tpu.terrain.heightfield import Terrain, height_at
+
+
+@dataclass
+class RunnerConfig:
+    lookahead: int = 3750        # rows (reference: scripts/main.py:177)
+    f_steps: int = 2500          # forced-execution rows (main.py:176)
+    window_duration: float = 2.5
+    K: int = 41
+    buffer_rows: int = 60000     # analog of TRAJ_SIZE (simulation.yml)
+    goal_tol: float = 0.1        # reference: main.py:40 goal_diff < 0.1
+    avg_speed: float = 0.22
+    stance_warmup_steps: int = 500
+    max_windows: int = 64
+    solver: SolverConfig = field(
+        default_factory=lambda: SolverConfig(max_iters=70, tol=3e-3)
+    )
+    control: ControlParams = field(default_factory=ControlParams)
+
+
+@dataclass
+class RunReport:
+    reached_goal: bool
+    windows: int
+    sim_ticks: int
+    final_pos: np.ndarray
+    goal: np.ndarray
+    mean_com_err: float
+    max_com_err: float
+    avg_com_err_per_s: float
+    solve_wall_times: list
+    statuses: list
+
+
+def spec_from_row(row, goal_r, goal_yaw, terrain: Terrain, K: int, duration: float) -> ProblemSpec:
+    """Build the next window's spec from a trajectory row — the analog of the
+    reference solver restart ABI (-s/-s_ang/-s_vel/-e1..e4 flags, combiner.py:
+    170-191)."""
+    cmd = decode_row(row)
+    start = RobotState(r=cmd["r"], eul=cmd["eul"], v=cmd["v"], omega=cmd["w"], feet=cmd["feet"])
+    dt = duration / (K - 1)
+    return ProblemSpec(
+        start=start,
+        goal_r=goal_r,
+        goal_yaw=goal_yaw,
+        duration=jnp.asarray(duration),
+        schedule=trot_schedule(K, dt),
+        dt=dt,
+    )
+
+
+class RecedingHorizonRunner:
+    """Continuous long-distance locomotion via window stitching."""
+
+    def __init__(
+        self,
+        terrain: Terrain,
+        goal_xy,
+        start_xy=(0.0, 0.0),
+        cfg: RunnerConfig | None = None,
+        blocked: np.ndarray | None = None,
+    ):
+        self.terrain = terrain
+        self.cfg = cfg or RunnerConfig()
+        self.goal_xy = np.asarray(goal_xy, np.float32)
+        self.planner = GlobalPlanner(
+            terrain, start_xy, goal_xy, avg_speed=self.cfg.avg_speed, blocked=blocked
+        )
+        c = self.cfg
+        self.seg_rows = int(round(c.window_duration * 1000)) + 1
+        self.buffer = jnp.zeros((c.buffer_rows, 37), jnp.float32)
+        self.contact_buf = jnp.zeros((c.buffer_rows, 4), jnp.float32)
+        self.buffer_end = 0
+
+        self._exec_jit = jax.jit(
+            lambda buf, start, s0: playback(
+                jax.lax.dynamic_slice(buf, (start, 0), (c.f_steps, 37)),
+                s0,
+                terrain,
+                c.control,
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def _plan_window(self, row, goal_r, goal_yaw, t0, terrain, cfg: RunnerConfig):
+        """Solve one window from a trajectory row and sample it. Jitted parts
+        inside (solve/sample are already jit-compiled)."""
+        spec = spec_from_row(row, goal_r, goal_yaw, terrain, cfg.K, cfg.window_duration)
+        res = solve(spec, terrain, cfg.solver)
+        table, contact = sample_trajectory(res.x, spec, hz=1000, t0=t0)
+        return res, table, contact
+
+    def _stitch(self, at: int, table, contact):
+        self.buffer = jax.lax.dynamic_update_slice(self.buffer, table, (at, 0))
+        self.contact_buf = jax.lax.dynamic_update_slice(self.contact_buf, contact, (at, 0))
+        self.buffer_end = at + self.seg_rows
+
+    def _find_stitch_row(self, target: int) -> int:
+        """First all-feet-in-contact row at/after target (reference:
+        combiner.py:245-296 scans the CSV for a four-contact row)."""
+        hi = self.buffer_end
+        target = min(target, hi - 1)
+        window = np.asarray(self.contact_buf[target:hi].min(axis=1) > 0.5)
+        idx = np.argmax(window)
+        if not window.any():
+            return hi - 1
+        return target + int(idx)
+
+    # ------------------------------------------------------------------
+    def run(self, verbose: bool = True) -> RunReport:
+        c = self.cfg
+        goal_r_final = np.array(
+            [
+                self.goal_xy[0],
+                self.goal_xy[1],
+                float(height_at(self.terrain, *map(float, self.goal_xy)))
+                + Solo12.stand_height,
+            ],
+            np.float32,
+        )
+
+        # Initial solve from the canonical standing start (reference: main.py
+        # default start_config + combiner.plan_init).
+        x0, y0, yaw0 = float(self.planner._xk[0]), float(self.planner._yk[0]), 0.0
+        start_state = RobotState.standing((x0, y0), yaw=yaw0, terrain=self.terrain)
+        goal0, gyaw0 = self.planner.spine_step(0.0, c.window_duration)
+        row0 = jnp.concatenate(
+            [
+                jnp.zeros(1),
+                start_state.r,
+                start_state.eul,
+                start_state.feet.reshape(12),
+                start_state.v,
+                start_state.omega,
+                jnp.zeros(12),
+            ]
+        )
+        solve_times, statuses = [], []
+        t_w = time.time()
+        res, table, contact = self._plan_window(
+            row0, jnp.asarray(goal0), jnp.asarray(gyaw0), 0.0, self.terrain, c
+        )
+        jax.block_until_ready(table)
+        solve_times.append(time.time() - t_w)
+        statuses.append(int(res.status))
+        self._stitch(0, table, contact)
+
+        sim = state_from_row(self.buffer[0], self.terrain, c.control)
+        sim = stance_warmup(sim, self.terrain, c.control, c.stance_warmup_steps)
+
+        exec_idx = 0
+        com_errs = []
+        reached = False
+        planning_done = False
+        for window in range(c.max_windows):
+            # plan the next segment from the lookahead stitch row (overlaps
+            # execution in the reference via a thread; sequenced here — the
+            # TPU solve is far faster than the 2.5 s real-time budget)
+            if not planning_done:
+                target = exec_idx + c.lookahead
+                if target >= self.buffer_end - 10:
+                    target = self.buffer_end - 10
+                at = self._find_stitch_row(target)
+                row = self.buffer[at]
+                t_path = float(row[0])
+                goal_vec, gyaw = self.planner.spine_step(t_path, c.window_duration)
+                goal_dist = np.linalg.norm(goal_vec[:2] - goal_r_final[:2])
+                if goal_dist < c.goal_tol:
+                    goal_vec = goal_r_final
+                    planning_done = True
+                t_w = time.time()
+                res, table, contact = self._plan_window(
+                    row, jnp.asarray(goal_vec), jnp.asarray(gyaw), t_path, self.terrain, c
+                )
+                jax.block_until_ready(table)
+                solve_times.append(time.time() - t_w)
+                statuses.append(int(res.status))
+                self._stitch(at, table, contact)
+
+            # execute a forced chunk
+            n_exec = min(c.f_steps, self.buffer_end - exec_idx)
+            if n_exec <= 0:
+                break
+            sim, metrics = self._exec_jit(self.buffer, exec_idx, sim)
+            com_errs.append(np.asarray(metrics.com_err[:n_exec]))
+            exec_idx += n_exec
+
+            pos = np.asarray(sim.pos)
+            if verbose:
+                print(
+                    f"[window {window}] exec->{exec_idx} pos=({pos[0]:.2f},{pos[1]:.2f},{pos[2]:.2f}) "
+                    f"solve={solve_times[-1]*1e3:.0f}ms status={statuses[-1]}"
+                )
+            if np.linalg.norm(pos[:2] - goal_r_final[:2]) < 1.5 * c.goal_tol:
+                reached = True
+                break
+            if planning_done and exec_idx >= self.buffer_end - 1:
+                break
+
+        com = np.concatenate(com_errs) if com_errs else np.zeros(1)
+        return RunReport(
+            reached_goal=bool(
+                reached or np.linalg.norm(np.asarray(sim.pos)[:2] - goal_r_final[:2]) < 2 * c.goal_tol
+            ),
+            windows=len(statuses),
+            sim_ticks=exec_idx,
+            final_pos=np.asarray(sim.pos),
+            goal=goal_r_final,
+            mean_com_err=float(com.mean()),
+            max_com_err=float(com.max()),
+            avg_com_err_per_s=float(com.sum() / max(len(com), 1) * 1000.0),
+            solve_wall_times=solve_times,
+            statuses=statuses,
+        )

@@ -1,0 +1,164 @@
+"""Global planner: A* waypoints -> smooth timed spline path -> window goals.
+
+Mirrors the reference Global_Planner / PATH_Solver (QTOS/planner.py:15-281):
+A* over the obstacle map, cubic-spline fit of x(t), y(t), and ``spine_step``
+goal generation for each receding-horizon window.  Spline evaluation is
+jittable (qtos_tpu.ops.splines); the search is host-side numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from qtos_tpu.models.solo12 import Solo12
+from qtos_tpu.ops.splines import natural_cubic_coeffs, natural_cubic_eval
+from qtos_tpu.planner.astar import astar
+from qtos_tpu.terrain.heightfield import Terrain, height_at, traversability_map
+
+
+class GlobalPlanner:
+    """Timed global path over a terrain.
+
+    Args:
+      terrain: the world.
+      start_xy, goal_xy: world coordinates.
+      avg_speed: trajectory pacing (m/s of path length).
+      blocked: optional (H, W) obstacle grid; defaults to the local
+        height-jump traversability map (height_bound=0.2, reference
+        planner.py:354-399). Pass the solver-probed feasibility map for
+        collision-avoidance experiments (reference bool_map_search).
+    """
+
+    def __init__(
+        self,
+        terrain: Terrain,
+        start_xy,
+        goal_xy,
+        avg_speed: float = 0.24,
+        blocked: np.ndarray | None = None,
+        safety_margin_cells: int = 1,
+    ):
+        self.terrain = terrain
+        self.avg_speed = float(avg_speed)
+        if blocked is None:
+            blocked = np.asarray(traversability_map(terrain))
+        blocked = self._inflate(np.asarray(blocked) > 0.5, safety_margin_cells)
+        self.blocked = blocked
+
+        cells = astar(blocked, self._to_cell(start_xy), self._to_cell(goal_xy))
+        if cells is None:
+            raise RuntimeError(
+                f"global planner: no path from {tuple(start_xy)} to {tuple(goal_xy)}"
+            )
+        pts = np.stack([self._to_world(c) for c in cells])
+        pts[0] = np.asarray(start_xy, np.float64)
+        pts[-1] = np.asarray(goal_xy, np.float64)
+        pts = self._decimate(pts)
+
+        seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+        self.path_length = float(seg.sum())
+        self.total_time = max(self.path_length / self.avg_speed, 1e-3)
+        # uniform-in-time knots via arc-length resampling
+        s = np.concatenate([[0.0], np.cumsum(seg)])
+        n_knots = max(8, len(pts))
+        ts = np.linspace(0.0, s[-1], n_knots)
+        xk = np.interp(ts, s, pts[:, 0])
+        yk = np.interp(ts, s, pts[:, 1])
+        self._h = self.total_time / (n_knots - 1)
+        self._xk = jnp.asarray(xk, jnp.float32)
+        self._yk = jnp.asarray(yk, jnp.float32)
+        self._mx = natural_cubic_coeffs(self._xk, self._h)
+        self._my = natural_cubic_coeffs(self._yk, self._h)
+
+    # -- grid <-> world ---------------------------------------------------
+
+    def _to_cell(self, xy):
+        x0, y0 = self.terrain.origin
+        res = self.terrain.resolution
+        col = int(round((xy[0] - x0) / res - 0.5))
+        row = int(round((xy[1] - y0) / res - 0.5))
+        H, W = self.blocked.shape if hasattr(self, "blocked") else self.terrain.height.shape
+        return (min(max(row, 0), H - 1), min(max(col, 0), W - 1))
+
+    def _to_world(self, cell):
+        x0, y0 = self.terrain.origin
+        res = self.terrain.resolution
+        return np.array([x0 + (cell[1] + 0.5) * res, y0 + (cell[0] + 0.5) * res])
+
+    @staticmethod
+    def _inflate(blocked: np.ndarray, n: int) -> np.ndarray:
+        out = blocked.copy()
+        for _ in range(n):
+            grow = out.copy()
+            grow[1:] |= out[:-1]
+            grow[:-1] |= out[1:]
+            grow[:, 1:] |= out[:, :-1]
+            grow[:, :-1] |= out[:, 1:]
+            out = grow
+        return out
+
+    @staticmethod
+    def _decimate(pts: np.ndarray, tol: float = 1e-6) -> np.ndarray:
+        """Drop collinear intermediate waypoints."""
+        if len(pts) <= 2:
+            return pts
+        keep = [0]
+        for i in range(1, len(pts) - 1):
+            a, b, c = pts[keep[-1]], pts[i], pts[i + 1]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if abs(cross) > tol:
+                keep.append(i)
+        keep.append(len(pts) - 1)
+        return pts[keep]
+
+    # -- queries -----------------------------------------------------------
+
+    def point_at(self, t):
+        """(x, y, yaw) on the global path at time t (clamped)."""
+        t = jnp.clip(jnp.asarray(t, jnp.float32), 0.0, self.total_time)
+        x, dx = natural_cubic_eval(self._xk, self._mx, self._h, 0.0, t)
+        y, dy = natural_cubic_eval(self._yk, self._my, self._h, 0.0, t)
+        yaw = jnp.arctan2(dy, dx)
+        return x, y, yaw
+
+    def spine_step(self, t: float, horizon: float):
+        """Goal for the window starting at path-time t (reference:
+        QTOS/combiner.py:194-212 spine_step): the path point one horizon
+        ahead, with terrain-aware z."""
+        x, y, yaw = self.point_at(t + horizon)
+        z = height_at(self.terrain, x, y) + Solo12.stand_height
+        return np.array([float(x), float(y), float(z)]), float(yaw)
+
+    def save_plot(self, path: str) -> None:
+        """Artifact parity with the reference's global_plan.png
+        (planner.py:460-494)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        x0, y0, x1, y1 = self.terrain.extent
+        fig, ax = plt.subplots(figsize=(9, 4))
+        ax.imshow(
+            np.asarray(self.terrain.height),
+            origin="lower",
+            extent=(x0, x1, y0, y1),
+            cmap="terrain",
+        )
+        ts = np.linspace(0, self.total_time, 200)
+        xs, ys = [], []
+        for t in ts:
+            x, y, _ = self.point_at(t)
+            xs.append(float(x))
+            ys.append(float(y))
+        ax.plot(xs, ys, "r-", lw=2, label="global plan")
+        by, bx = np.nonzero(self.blocked)
+        res = self.terrain.resolution
+        ax.plot(x0 + (bx + 0.5) * res, y0 + (by + 0.5) * res, "k.", ms=2, alpha=0.4)
+        ax.legend()
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("y [m]")
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        plt.close(fig)

@@ -142,9 +142,15 @@ TILE_GENERATORS = {
     "obstacle": lambda: _obstacle(),
     "bridge": lambda: _bridge(),
     "calibration": lambda: _calibration(),
-    "test": lambda: _flat(52)[:52, :DIM] if False else _flat(),
+    "test": lambda: _flat(),
     "collision_hills": lambda: np.maximum(_wall(gap=(7, 13)), _random_terrain(amp=0.05, seed=7)),
 }
+
+# aliases used by reference experiment YAMLs (experiment_4/6: 'random_terrain_1',
+# 'stair', 'stair_1')
+TILE_GENERATORS["random_terrain_1"] = TILE_GENERATORS["random_terrain"]
+TILE_GENERATORS["stair"] = TILE_GENERATORS["stairs"]
+TILE_GENERATORS["stair_1"] = TILE_GENERATORS["stairs_1"]
 
 
 def tile(name: str) -> np.ndarray:

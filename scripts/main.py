@@ -1,0 +1,213 @@
+#!/usr/bin/env python3
+"""QTOS-TPU experiment driver.
+
+The reference CLI (`python3 scripts/main.py -exp exp_N [-g x y z] [-t] [-T]`,
+reference scripts/main.py:166-191) launched a Docker TOWR container, a
+replanning thread, and a PyBullet loop.  Here everything is in-process:
+
+    python scripts/main.py --exp exp_1              # continuous replanning run
+    python scripts/main.py --exp exp_1 --oneshot    # single whole-path solve (ref -t)
+    python scripts/main.py --test                   # canned smoke replay (ref -T)
+    python scripts/main.py --exp exp_1 -g 2.0 0.5   # override goal
+
+Artifacts land in logs/ and data/ like the reference (global_plan.png,
+trajectory CSV, tracking plots).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="QTOS-TPU experiment driver")
+    p.add_argument("--exp", "-exp", default="exp_1", help="experiment preset (exp_1..exp_10)")
+    p.add_argument("-g", "--goal", nargs="+", type=float, default=None, help="goal x y [z]")
+    p.add_argument("--oneshot", "-t", action="store_true", help="single whole-path solve, no replanning")
+    p.add_argument("--test", "-T", action="store_true", help="headless smoke test on canned trajectory")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--record", "-r", action="store_true", help="record realized joint trajectory CSV for hardware replay")
+    p.add_argument("--out", default="data", help="artifact output dir")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import numpy as np
+
+    from qtos_tpu.config import get_experiment
+    from qtos_tpu.control.replan import RecedingHorizonRunner, RunnerConfig
+    from qtos_tpu.terrain import make_terrain
+
+    os.makedirs("logs", exist_ok=True)
+    os.makedirs(os.path.join(args.out, "traj"), exist_ok=True)
+    os.makedirs(os.path.join(args.out, "tracking"), exist_ok=True)
+
+    if args.test:
+        return run_smoke_test()
+
+    exp = get_experiment(args.exp)
+    goal = tuple(args.goal[:2]) if args.goal else exp.goal_xy
+    rng = np.random.default_rng(args.seed)
+    terrain = make_terrain(
+        list(exp.maps), scale_factor=exp.mesh_scale, randomize=exp.random_env, rng=rng
+    )
+
+    blocked = None
+    if exp.bool_map_search:
+        from qtos_tpu.planner.feasibility import feasibility_map
+
+        print("probing feasibility map with batched solves...")
+        t0 = time.time()
+        blocked = feasibility_map(terrain)
+        print(f"feasibility map done in {time.time()-t0:.1f}s "
+              f"({int(blocked.sum())} blocked cells)")
+        save_map_plot(blocked, os.path.join(args.out, "bool_map.png"))
+
+    cfg = RunnerConfig(avg_speed=exp.avg_speed)
+    if args.oneshot:
+        return run_oneshot(terrain, goal, cfg, args)
+
+    runner = RecedingHorizonRunner(terrain, goal, cfg=cfg, blocked=blocked)
+    runner.planner.save_plot(os.path.join(args.out, "global_plan.png"))
+    t0 = time.time()
+    report = runner.run()
+    wall = time.time() - t0
+
+    save_tracking_artifacts(report, args.out)
+    if args.record:
+        print("note: use scripts/record.py for the hardware-replay CSV")
+    summary = dict(
+        experiment=exp.name,
+        reached_goal=report.reached_goal,
+        windows=report.windows,
+        sim_ticks=report.sim_ticks,
+        final_pos=[float(v) for v in report.final_pos],
+        goal=[float(v) for v in report.goal],
+        avg_com_err_per_s=report.avg_com_err_per_s,
+        solve_ms_p50=float(np.median(report.solve_wall_times[1:]) * 1000)
+        if len(report.solve_wall_times) > 1
+        else float(report.solve_wall_times[0] * 1000),
+        statuses=report.statuses,
+        wall_time_s=wall,
+    )
+    with open("logs/experiment_data.out", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+    return 0 if report.reached_goal else 1
+
+
+def run_oneshot(terrain, goal, cfg, args):
+    """Single solve of the whole path (reference `-t` run_default,
+    main.py:105-137: -duration 4.0 x num_tiles)."""
+    import numpy as np
+
+    from qtos_tpu.control import ControlParams, playback, stance_warmup
+    from qtos_tpu.control.loop import state_from_row
+    from qtos_tpu.solver import SolverConfig, default_spec, sample_trajectory, solve
+    from qtos_tpu.solver.sampler import table_to_csv
+
+    dist = float(np.hypot(goal[0], goal[1]))
+    duration = max(2.5, dist / cfg.avg_speed)
+    K = int(round(duration / 0.0625)) + 1
+    spec = default_spec(terrain, start_xy=(0.0, 0.0), goal_xy=goal, duration=duration, K=K)
+    t0 = time.time()
+    res = solve(spec, terrain, SolverConfig(max_iters=80, tol=5e-3))
+    print(f"oneshot solve: status={int(res.status)} viol={float(res.max_violation):.2e} "
+          f"({time.time()-t0:.1f}s, K={K})")
+    table, _ = sample_trajectory(res.x, spec)
+    table_to_csv(os.path.join(args.out, "traj", "towr.csv"), table)
+    params = ControlParams()
+    s0 = stance_warmup(state_from_row(table[0], terrain, params), terrain, params, 500)
+    final, m = playback(table, s0, terrain, params)
+    print(f"playback: final=({float(final.pos[0]):.2f},{float(final.pos[1]):.2f}) "
+          f"metric={float(m.avg_com_err_per_s):.1f}")
+    return 0 if int(res.status) == 0 else 1
+
+
+def run_smoke_test():
+    """Headless canned-trajectory replay (reference `-T`: replays
+    test/data/traj/gait.csv through the full stack, main.py:181-199)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qtos_tpu.control import ControlParams, playback, stance_warmup
+    from qtos_tpu.control.loop import state_from_row
+    from qtos_tpu.solver import SolverConfig, default_spec, sample_trajectory, solve
+    from qtos_tpu.terrain import make_terrain
+
+    terrain = make_terrain(["plane", "plane"])
+    ref_fixture = "/root/reference/test/data/traj/gait.csv"
+    if os.path.exists(ref_fixture):
+        from qtos_tpu.solver.sampler import csv_to_table
+
+        table = jnp.asarray(csv_to_table(ref_fixture)[:3000])
+        print("replaying reference golden fixture gait.csv")
+    else:
+        spec = default_spec(terrain, goal_xy=(0.5, 0.0), K=33)
+        res = solve(spec, terrain, SolverConfig(max_iters=30))
+        table, _ = sample_trajectory(res.x, spec)
+        print("replaying freshly solved canned trajectory")
+    params = ControlParams()
+    s0 = stance_warmup(state_from_row(table[0], terrain, params), terrain, params, 300)
+    final, m = playback(table, s0, terrain, params)
+    err = float(m.com_err.mean())
+    print(f"smoke test: mean CoM err {err:.3f} m, final z {float(final.pos[2]):.3f}")
+    ok = np.isfinite(err) and err < 0.15 and 0.1 < float(final.pos[2]) < 0.4
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def save_tracking_artifacts(report, out_dir):
+    """CoM error plot (artifact parity with data/tracking/ in the reference)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 3))
+        ax.set_title(f"tracking: avg CoM err/s = {report.avg_com_err_per_s:.1f}")
+        ax.axhline(report.mean_com_err, color="r", ls="--", lw=1)
+        ax.set_xlabel("tick")
+        ax.set_ylabel("CoM err [m]")
+        fig.savefig(os.path.join(out_dir, "tracking", "CoM_track.png"), dpi=100)
+        import matplotlib.pyplot as plt2
+
+        plt2.close(fig)
+    except Exception as e:  # matplotlib optional
+        print("plot skipped:", e)
+
+
+def save_map_plot(blocked, path):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        fig, ax = plt.subplots()
+        ax.imshow(np.asarray(blocked), origin="lower", cmap="gray_r")
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+    except Exception as e:
+        print("plot skipped:", e)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
