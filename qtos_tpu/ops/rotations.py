@@ -98,10 +98,26 @@ def euler_rate_matrix(eul: jax.Array) -> jax.Array:
     )
 
 
+def euler_rate_matrix_inv(eul: jax.Array) -> jax.Array:
+    """Closed-form C(eul)^-1 (XLA's generic 3x3 LU solve is ~5x slower on TPU)."""
+    pitch, yaw = eul[..., 1], eul[..., 2]
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    z = jnp.zeros_like(cp)
+    inv_cp = 1.0 / jnp.where(jnp.abs(cp) < 1e-6, jnp.sign(cp) * 1e-6 + (cp == 0) * 1e-6, cp)
+    return jnp.stack(
+        [
+            jnp.stack([cy * inv_cp, sy * inv_cp, z], -1),
+            jnp.stack([-sy, cy, z], -1),
+            jnp.stack([cy * sp * inv_cp, sy * sp * inv_cp, jnp.ones_like(cp)], -1),
+        ],
+        -2,
+    )
+
+
 def omega_to_euler_rate(eul: jax.Array, omega: jax.Array) -> jax.Array:
     """World angular velocity -> euler rates: eul_dot = C(eul)^-1 @ w."""
-    C = euler_rate_matrix(eul)
-    return jnp.linalg.solve(C, omega[..., None])[..., 0]
+    return (euler_rate_matrix_inv(eul) @ omega[..., None])[..., 0]
 
 
 def euler_rate_to_omega(eul: jax.Array, eul_dot: jax.Array) -> jax.Array:

@@ -132,8 +132,9 @@ def sim_step(state: SimState, tau: jax.Array, terrain: Terrain, params: SimParam
     F = jnp.sum(f_c, axis=0) + Solo12.mass * jnp.array([0.0, 0.0, -9.81])
     T = jnp.sum(jnp.cross(arm_w, f_c), axis=0)
     I_w = params.inertia_scale * (R @ Solo12.inertia @ R.T)
+    I_w_inv = (R @ Solo12.inertia_inv @ R.T) / params.inertia_scale
     a = F / Solo12.mass
-    wd = jnp.linalg.solve(I_w, T - jnp.cross(state.w, I_w @ state.w))
+    wd = I_w_inv @ (T - jnp.cross(state.w, I_w @ state.w))
 
     # Joint dynamics: motor + contact reaction through the leg Jacobian.
     f_b = f_c @ R                                           # world -> base frame

@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from qtos_tpu.ops.rotations import euler_rate_matrix
+from qtos_tpu.ops.rotations import omega_to_euler_rate
 from qtos_tpu.ops.splines import hermite_eval
 from qtos_tpu.solver.spec import ProblemSpec, unpack_state
 
@@ -66,7 +66,7 @@ def sample_trajectory(x: jax.Array, spec: ProblemSpec, hz: int = 1000, t0: float
         )
         return pos, vel
 
-    rate = jnp.linalg.solve(euler_rate_matrix(s["th"]), s["w"][..., None])[..., 0]
+    rate = omega_to_euler_rate(s["th"], s["w"])
     r, v = seg_interp(s["r"], s["v"])
     th, _ = seg_interp(s["th"], rate)
     _, w_s = None, None

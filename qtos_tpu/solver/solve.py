@@ -110,24 +110,43 @@ def solve(
 
         eyes = jnp.eye(NV)[None]
 
+        # One residual/Jacobian evaluation per iteration: the candidate step is
+        # evaluated by the NEXT iteration's assemble; on rejection we revert to
+        # the stored system of the last accepted point (classic "delayed
+        # gratification" LM — halves residual work vs a separate merit pass).
         def body(_, carry):
-            x, lm, merit_prev = carry
+            x, x_best, D_b, L_b, g_b, merit_b, lm = carry
             D, L, g, merit = _assemble(x, spec, terrain, cfg)
-            diag = jnp.diagonal(D, axis1=-2, axis2=-1)
-            damp = lm * diag[..., None] * eyes[0][None] + 1e-8 * eyes
-            dx = block_tridiag_solve(D + damp, L, -g)
-            x_new = x + dx
-            merit_new = _merit(x_new, spec, terrain, cfg)
-            accept = merit_new < merit
-            x = jnp.where(accept, x_new, x)
+            accept = merit < merit_b
+            x_best = jnp.where(accept, x, x_best)
+            D_b = jnp.where(accept, D, D_b)
+            L_b = jnp.where(accept, L, L_b)
+            g_b = jnp.where(accept, g, g_b)
+            merit_b = jnp.where(accept, merit, merit_b)
             lm = jnp.clip(
                 jnp.where(accept, lm * 0.4, lm * 4.0), cfg.lm_min, cfg.lm_max
             )
-            return x, lm, jnp.where(accept, merit_new, merit)
+            diag = jnp.diagonal(D_b, axis1=-2, axis2=-1)
+            damp = lm * diag[..., None] * eyes[0][None] + 1e-8 * eyes
+            dx = block_tridiag_solve(D_b + damp, L_b, -g_b)
+            return x_best + dx, x_best, D_b, L_b, g_b, merit_b, lm
 
-        x, lm, merit = jax.lax.fori_loop(
-            0, cfg.max_iters, body, (x0, jnp.asarray(cfg.lm_init), jnp.asarray(jnp.inf))
+        K = x0.shape[0]
+        zeros_sys = (
+            jnp.zeros((K, NV, NV)),
+            jnp.zeros((K - 1, NV, NV)),
+            jnp.zeros((K, NV)),
         )
+        x_trial, x, _, _, _, merit, lm = jax.lax.fori_loop(
+            0,
+            cfg.max_iters,
+            body,
+            (x0, x0, *zeros_sys, jnp.asarray(jnp.inf), jnp.asarray(cfg.lm_init)),
+        )
+        # last trial point may be better than the last accepted one
+        merit_trial = _merit(x_trial, spec, terrain, cfg)
+        x = jnp.where(merit_trial < merit, x_trial, x)
+        merit = jnp.minimum(merit_trial, merit)
 
         viol = violations(x, spec, terrain, cfg)
         max_v = jnp.max(jnp.stack([viol[k] for k in sorted(viol)]))

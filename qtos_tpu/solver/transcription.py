@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from qtos_tpu.models.solo12 import Solo12
-from qtos_tpu.ops.rotations import euler_rate_matrix, euler_to_rot
+from qtos_tpu.ops.rotations import euler_to_rot, omega_to_euler_rate
 from qtos_tpu.solver.spec import (
     FORCE_SCALE,
     NV,
@@ -57,9 +57,13 @@ def srb_accels(r, th, w, f_feet, p_feet):
     """
     a_lin = jnp.sum(f_feet, axis=-2) / Solo12.mass + GRAVITY
     R = euler_to_rot(th)
-    I_w = R @ Solo12.inertia @ R.T
+    I_w = R @ Solo12.inertia @ jnp.swapaxes(R, -1, -2)
     tau = jnp.sum(jnp.cross(p_feet - r[None, :], f_feet), axis=-2)
-    w_dot = jnp.linalg.solve(I_w, tau - jnp.cross(w, I_w @ w))
+    # I_w^-1 = R I^-1 R^T exactly (diagonal body inertia) — avoids XLA's slow
+    # small-matrix LU on TPU.
+    I_w_inv = R @ Solo12.inertia_inv @ jnp.swapaxes(R, -1, -2)
+    Iw_w = jnp.einsum("...ij,...j->...i", I_w, w)
+    w_dot = jnp.einsum("...ij,...j->...i", I_w_inv, tau - jnp.cross(w, Iw_w))
     return a_lin, w_dot
 
 
@@ -159,8 +163,8 @@ def interval_residuals(xa, xb, ca, cb, spec: ProblemSpec, cfg: SolverConfig):
 
     a0, wd0 = srb_accels(r0, th0, w0, f0, p0)
     a1, wd1 = srb_accels(r1, th1, w1, f1, p1)
-    rate0 = jnp.linalg.solve(euler_rate_matrix(th0), w0)
-    rate1 = jnp.linalg.solve(euler_rate_matrix(th1), w1)
+    rate0 = omega_to_euler_rate(th0, w0)
+    rate1 = omega_to_euler_rate(th1, w1)
 
     res_dyn = jnp.concatenate(
         [
@@ -197,7 +201,7 @@ def violations(x, spec: ProblemSpec, terrain: Terrain, cfg: SolverConfig):
     c = spec.schedule.contact
 
     a, wd = jax.vmap(srb_accels)(r, th, w, f, p)
-    rate = jnp.linalg.solve(euler_rate_matrix(th), w[..., None])[..., 0]
+    rate = omega_to_euler_rate(th, w)
     d_r = r[1:] - r[:-1] - 0.5 * dt * (v[1:] + v[:-1])
     d_th = th[1:] - th[:-1] - 0.5 * dt * (rate[1:] + rate[:-1])
     d_v = v[1:] - v[:-1] - 0.5 * dt * (a[1:] + a[:-1])
