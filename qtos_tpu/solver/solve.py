@@ -69,19 +69,17 @@ def _merit(x, spec, terrain, cfg):
 
 
 def _assemble(x, spec, terrain, cfg):
-    """Residuals + block-tridiagonal Gauss-Newton system."""
-    aux = _aux(spec)
-    kfn = lambda xk, a: knot_residuals(xk, a, spec, terrain, cfg)
-    rho_k = jax.vmap(kfn)(x, aux)
-    Jk = jax.vmap(jax.jacfwd(kfn))(x, aux)                      # (K, m1, NV)
+    """Residuals + block-tridiagonal Gauss-Newton system (analytic Jacobians
+    from qtos_tpu.solver.jacobians; autodiff equivalence is pinned by
+    tests/test_jacobians.py)."""
+    from qtos_tpu.solver.jacobians import interval_system, knot_system
 
-    xab = jnp.concatenate([x[:-1], x[1:]], axis=-1)
-    ifn = lambda xx, ca, cb: interval_residuals(xx[:NV], xx[NV:], ca, cb, spec, cfg)
-    rho_i = jax.vmap(ifn)(xab, spec.schedule.contact[:-1], spec.schedule.contact[1:])
-    Ji = jax.vmap(jax.jacfwd(ifn))(
-        xab, spec.schedule.contact[:-1], spec.schedule.contact[1:]
-    )                                                           # (K-1, m2, 2NV)
-    Ja, Jb = Ji[..., :NV], Ji[..., NV:]
+    aux = _aux(spec)
+    rho_k, Jk = jax.vmap(lambda xk, a: knot_system(xk, a, spec, terrain, cfg))(x, aux)
+
+    rho_i, Ja, Jb = jax.vmap(
+        lambda a, b, ca, cb: interval_system(a, b, ca, cb, spec, cfg)
+    )(x[:-1], x[1:], spec.schedule.contact[:-1], spec.schedule.contact[1:])
 
     D = jnp.einsum("kmi,kmj->kij", Jk, Jk)
     D = D.at[:-1].add(jnp.einsum("kmi,kmj->kij", Ja, Ja))

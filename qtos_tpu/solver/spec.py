@@ -83,9 +83,9 @@ class Weights:
 
 @struct.dataclass
 class SolverConfig:
-    max_iters: int = struct.field(pytree_node=False, default=40)
+    max_iters: int = struct.field(pytree_node=False, default=30)
     tol: float = 2e-3           # max unweighted constraint violation for "converged"
-    lm_init: float = 1e-3
+    lm_init: float = 1e-4
     lm_min: float = 1e-7
     lm_max: float = 1e3
     swing_clearance: float = 0.06
