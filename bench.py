@@ -41,7 +41,7 @@ def main():
 
     best = 0.0
     sizes = tuple(
-        int(s) for s in os.environ.get("QTOS_BENCH_BATCHES", "512").split(",")
+        int(s) for s in os.environ.get("QTOS_BENCH_BATCHES", "1024").split(",")
     )
     for B in sizes:
         specs = build(B)

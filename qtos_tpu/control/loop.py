@@ -156,6 +156,77 @@ def stance_warmup(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=())
+def playback_recorded(
+    table: jax.Array,
+    state0: SimState,
+    terrain: Terrain,
+    params: ControlParams = ControlParams(),
+):
+    """Like `playback` but also records the realized joint trajectory — the
+    hardware-replay capture of the reference's trajectory_record.py
+    (csv_entry = 12 angles + 12 velocities + 12 torques, robot.py:118-125).
+
+    Returns (final_state, TrackingMetrics, traces dict).
+    """
+
+    def tick(carry, row):
+        state, q_des_prev = carry
+        q_des, cmd = plan_joint_targets(row, params)
+        qd_des = (q_des - q_des_prev) / params.sim.dt
+        tau_ff = None
+        if params.use_force_ff:
+            J = Solo12.jacobians(state.q)
+            R = euler_to_rot(state.eul)
+            tau_ff = -jnp.einsum("lji,lj->li", J, cmd["f"] @ R).reshape(12)
+        tau = pd_torque(params.motor, q_des, qd_des, state.q, state.qd, tau_ff)
+        new_state = sim_step(state, tau, terrain, params.sim)
+        com_err = jnp.linalg.norm(new_state.pos - cmd["r"])
+        ee_err = jnp.mean(
+            jnp.linalg.norm(
+                Solo12.fk_world(new_state.q, new_state.pos, new_state.eul) - cmd["feet"],
+                axis=-1,
+            )
+        )
+        out = dict(
+            q=new_state.q,
+            qd=new_state.qd,
+            tau=tau,
+            pos=new_state.pos,
+            eul=new_state.eul,
+            com_err=com_err,
+            ee_err=ee_err,
+        )
+        return (new_state, q_des), out
+
+    q_des0, _ = plan_joint_targets(table[0], params)
+    (final, _), traces = jax.lax.scan(tick, (state0, q_des0), table)
+    T = table.shape[0]
+    cum = jnp.sum(traces["com_err"])
+    metrics = TrackingMetrics(
+        com_err=traces["com_err"],
+        ee_err=traces["ee_err"],
+        cum_com_err=cum,
+        avg_com_err_per_s=cum / jnp.maximum(T, 1) * 1000.0,
+    )
+    return final, metrics, traces
+
+
+def record_csv(traces: dict, path: str, copy_trajectory_pts: int = 1) -> None:
+    """Write the hardware-replay CSV: rows of [q(12), qd(12), tau(12)], each
+    duplicated `copy_trajectory_pts` times to bridge sim rate vs the 1 kHz
+    hardware controller (reference: trajectory_record.py:235-239)."""
+    import numpy as np
+
+    q = np.asarray(traces["q"])
+    qd = np.asarray(traces["qd"])
+    tau = np.asarray(traces["tau"])
+    rows = np.concatenate([q, qd, tau], axis=-1)
+    if copy_trajectory_pts > 1:
+        rows = np.repeat(rows, copy_trajectory_pts, axis=0)
+    np.savetxt(path, rows, delimiter=",", fmt="%.6g")
+
+
 def state_from_row(row, terrain: Terrain, params: ControlParams = ControlParams(), drop: float = 0.0) -> SimState:
     """Initialize the sim at a trajectory row (teleport-start, the analog of
     Simulation.start — reference QTOS/simulation.py:117-123).  Uses the same

@@ -1,0 +1,241 @@
+"""Batched block-tridiagonal SPD solve as a single Pallas TPU kernel.
+
+This is the KKT backbone of the gait solver (the role MUMPS plays inside
+IPOPT for the reference — logs/towr_log.out:37), laid out for the hardware:
+the scenario batch rides the 128 vector lanes, each Cholesky/substitution
+step is a full-width (n, B) vector op, and the whole K-step Thomas recursion
+runs in VMEM with per-step factors spilled to HBM for the back-substitution.
+
+Design notes (hard-won on real hardware):
+- dynamic column reads/writes go through VMEM *refs* with `pl.ds` — Mosaic
+  has no scatter or value-domain dynamic_slice, and static unrolling of the
+  n=36 column loops explodes compile time;
+- all DMA'd blocks are padded to a sublane multiple (8 for f32): unaligned
+  (n, 128) HBM slices fault the device;
+- the recursion is transpose-free: M with M Lc^T = L via a right triangular
+  solve, then S_next = D - M M^T as symmetric outer products.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _row_ids(n):
+    return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+
+def _rowvec(v, j):
+    """Element j of v (n, B) as (B,), traced j (one-hot contraction)."""
+    n = v.shape[0]
+    ej = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == j).astype(v.dtype)
+    return jnp.sum(v * ej, axis=0)
+
+
+def _chol_ref(A_ref, Lc_ref, n):
+    """In-place: Lc_ref <- chol(A_ref); A_ref destroyed. Both (n, n, B)."""
+    rows = _row_ids(n)
+
+    def body(j, _):
+        diag = A_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0]            # (B,)
+        d = jax.lax.rsqrt(jnp.maximum(diag, 1e-12))
+        col = A_ref[:, pl.ds(j, 1), :][:, 0, :] * d[None, :]       # (n, B)
+        col = jnp.where(rows >= j, col, 0.0)
+        Lc_ref[:, pl.ds(j, 1), :] = col[:, None, :]
+        A_ref[:] = A_ref[:] - col[:, None, :] * col[None, :, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _right_solve_ref(Lc_ref, M_ref, n):
+    """In-place: M_ref <- M with M Lc^T = M_in. Both (n, n, B)."""
+    rows = _row_ids(n)
+
+    def body(j, _):
+        dj = Lc_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0]
+        mj = M_ref[:, pl.ds(j, 1), :][:, 0, :] / dj[None, :]
+        coeff = Lc_ref[:, pl.ds(j, 1), :][:, 0, :]
+        coeff = jnp.where(rows > j, coeff, 0.0)
+        M_ref[:] = M_ref[:] - mj[:, None, :] * coeff[None, :, :]
+        M_ref[:, pl.ds(j, 1), :] = mj[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _cho_solve_vec_ref(Lc_ref, r, n):
+    """(Lc Lc^T)^-1 r for r (n, B) value; Lc factor lives in a ref."""
+    rows = _row_ids(n)
+
+    def fwd(j, y):
+        dj = Lc_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0]
+        yj = _rowvec(y, j) / dj
+        below = Lc_ref[:, pl.ds(j, 1), :][:, 0, :]
+        below = jnp.where(rows > j, below, 0.0)
+        ej = (rows == j).astype(y.dtype)
+        y = y - below * yj[None, :]
+        return y * (1.0 - ej) + ej * yj[None, :]
+
+    y = jax.lax.fori_loop(0, n, fwd, r)
+
+    def bwd(i, x):
+        j = n - 1 - i
+        dj = Lc_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0]
+        xj = _rowvec(x, j) / dj
+        above = Lc_ref[pl.ds(j, 1), :, :][0]                       # row j, (n, B)
+        above = jnp.where(rows < j, above, 0.0)
+        ej = (rows == j).astype(x.dtype)
+        x = x - above * xj[None, :]
+        return x * (1.0 - ej) + ej * xj[None, :]
+
+    return jax.lax.fori_loop(0, n, bwd, y)
+
+
+def _mmT_ref(M_ref, n):
+    """M M^T from a ref, accumulated column-by-column: (n, n, B) value."""
+
+    def body(m, acc):
+        cm = M_ref[:, pl.ds(m, 1), :][:, 0, :]
+        return acc + cm[:, None, :] * cm[None, :, :]
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros(M_ref.shape, M_ref.dtype))
+
+
+def _mv_ref(L_ref, u, n):
+    """(L u) for L in a ref, u (n, B) value."""
+
+    def body(m, acc):
+        return acc + L_ref[:, pl.ds(m, 1), :][:, 0, :] * _rowvec(u, m)[None, :]
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(u))
+
+
+def _mtv_ref(L_ref, u, n):
+    """(L^T u)."""
+
+    def body(m, acc):
+        return acc + L_ref[pl.ds(m, 1), :, :][0] * _rowvec(u, m)[None, :]
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(u))
+
+
+def _btd_kernel(D_any, L_any, b_vmem, x_vmem, chol_any, y_vmem, dbuf, lbuf, cbuf, sems, *, K, n):
+    g = pl.program_id(0)
+
+    def load(src, dst, s):
+        dma = pltpu.make_async_copy(src, dst, s)
+        dma.start()
+        dma.wait()
+
+    # ---- forward elimination -------------------------------------------
+    load(D_any.at[g, 0], dbuf, sems.at[0])
+    _chol_ref(dbuf, cbuf, n)
+    load(cbuf, chol_any.at[g, 0], sems.at[2])
+    y_vmem[0] = b_vmem[0, 0]
+
+    def fwd(k, y_prev):
+        load(D_any.at[g, k], dbuf, sems.at[0])
+        load(L_any.at[g, k - 1], lbuf, sems.at[1])
+        u = _cho_solve_vec_ref(cbuf, y_prev, n)          # S_{k-1}^-1 y_{k-1}
+        yk = b_vmem[0, k] - _mv_ref(lbuf, u, n)
+        _right_solve_ref(cbuf, lbuf, n)                  # lbuf <- M, M Lc^T = L
+        dbuf[:] = dbuf[:] - _mmT_ref(lbuf, n)            # S_k = D_k - M M^T
+        _chol_ref(dbuf, cbuf, n)                         # cbuf <- chol(S_k)
+        load(cbuf, chol_any.at[g, k], sems.at[2])
+        y_vmem[k] = yk
+        return yk
+
+    y_last = jax.lax.fori_loop(1, K, fwd, b_vmem[0, 0])
+
+    # ---- back substitution ---------------------------------------------
+    xK = _cho_solve_vec_ref(cbuf, y_last, n)
+    x_vmem[0, K - 1] = xK
+
+    def bwd(i, x_next):
+        k = K - 2 - i
+        load(chol_any.at[g, k], cbuf, sems.at[2])
+        load(L_any.at[g, k], lbuf, sems.at[1])
+        rhs = y_vmem[k] - _mtv_ref(lbuf, x_next, n)
+        xk = _cho_solve_vec_ref(cbuf, rhs, n)
+        x_vmem[0, k] = xk
+        return xk
+
+    jax.lax.fori_loop(0, K - 1, bwd, xK)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def btd_solve_pallas(D: jax.Array, L: jax.Array, b: jax.Array, interpret: bool = False) -> jax.Array:
+    """Solve batched SPD block-tridiagonal systems.
+
+    Args:
+      D: (B, K, n, n) diagonal blocks.
+      L: (B, K-1, n, n) sub-diagonal blocks.
+      b: (B, K, n) right-hand sides.
+      interpret: run in interpreter mode (CPU testing).
+
+    Returns:
+      x: (B, K, n).
+    """
+    B, K, n_in, _ = D.shape
+    # Pad the block size to a sublane multiple (8 for f32): unaligned (n, 128)
+    # DMA slices fault on real hardware.  Padded rows carry an identity
+    # diagonal, keeping the system SPD and decoupled.
+    n = ((n_in + 7) // 8) * 8
+    if n != n_in:
+        padn = n - n_in
+        eye_pad = jnp.zeros((n, n), D.dtype).at[n_in:, n_in:].set(jnp.eye(padn, dtype=D.dtype))
+        Dp_ = jnp.zeros(D.shape[:2] + (n, n), D.dtype) + eye_pad
+        D = Dp_.at[..., :n_in, :n_in].set(D)
+        L = jnp.pad(L, ((0, 0), (0, 0), (0, padn), (0, padn)))
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, padn)))
+    if B % LANES != 0:
+        padB = (-B) % LANES
+        D = jnp.concatenate([D, jnp.broadcast_to(jnp.eye(n, dtype=D.dtype), (padB, K, n, n))], 0)
+        L = jnp.concatenate([L, jnp.zeros((padB, K - 1, n, n), D.dtype)], 0)
+        b = jnp.concatenate([b, jnp.zeros((padB, K, n), D.dtype)], 0)
+    Bp = D.shape[0]
+    G = Bp // LANES
+
+    # lanes-last layout, L zero-padded to K blocks
+    Dt = jnp.moveaxis(D.reshape(G, LANES, K, n, n), 1, -1)       # (G, K, n, n, 128)
+    Lpad = jnp.concatenate([L, jnp.zeros((Bp, 1, n, n), D.dtype)], 1)
+    Lt = jnp.moveaxis(Lpad.reshape(G, LANES, K, n, n), 1, -1)
+    bt = jnp.moveaxis(b.reshape(G, LANES, K, n), 1, -1)          # (G, K, n, 128)
+
+    kernel = functools.partial(_btd_kernel, K=K, n=n)
+    x_t, _ = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, K, n, LANES), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K, n, LANES), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, K, n, LANES), D.dtype),
+            jax.ShapeDtypeStruct((G, K, n, n, LANES), D.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, n, LANES), D.dtype),    # y
+            pltpu.VMEM((n, n, LANES), D.dtype),    # dbuf
+            pltpu.VMEM((n, n, LANES), D.dtype),    # lbuf
+            pltpu.VMEM((n, n, LANES), D.dtype),    # cbuf
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(Dt, Lt, bt)
+
+    x = jnp.moveaxis(x_t, -1, 1).reshape(Bp, K, n)
+    return x[:B, :, :n_in]

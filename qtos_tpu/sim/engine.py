@@ -36,6 +36,9 @@ class SimParams:
     # 0.0058 vs ~0.05 with legs — using base-only makes contact damping
     # unstable through the roll lever arms at dt=1ms).
     inertia_scale: float = 5.0
+    # Base collision sphere radius (keeps a collapsed robot from sinking
+    # through the terrain; PyBullet collides the full body mesh).
+    base_radius: float = 0.05
 
 
 @struct.dataclass
@@ -128,8 +131,23 @@ def sim_step(state: SimState, tau: jax.Array, terrain: Terrain, params: SimParam
     feet_w, feet_vw, arm_w, J, R = foot_kinematics(state)
     f_c, new_anchor = contact_forces(params, terrain, feet_w, feet_vw, state.anchor)
 
-    # Base wrench.
-    F = jnp.sum(f_c, axis=0) + Solo12.mass * jnp.array([0.0, 0.0, -9.81])
+    # Base wrench (feet contact + gravity + base collision sphere).
+    h_base = height_at(terrain, state.pos[0], state.pos[1])
+    pen_base = h_base + params.base_radius - state.pos[2]
+    f_base_z = jnp.clip(
+        jnp.where(
+            pen_base > 0.0,
+            params.contact_kp * pen_base - params.contact_kd * state.v[2],
+            0.0,
+        ),
+        0.0,
+        200.0,
+    )
+    F = (
+        jnp.sum(f_c, axis=0)
+        + Solo12.mass * jnp.array([0.0, 0.0, -9.81])
+        + jnp.array([0.0, 0.0, 1.0]) * f_base_z
+    )
     T = jnp.sum(jnp.cross(arm_w, f_c), axis=0)
     I_w = params.inertia_scale * (R @ Solo12.inertia @ R.T)
     I_w_inv = (R @ Solo12.inertia_inv @ R.T) / params.inertia_scale
