@@ -43,6 +43,10 @@ class RunnerConfig:
     avg_speed: float = 0.22
     stance_warmup_steps: int = 500
     max_windows: int = 64
+    # Warm-starting windows from the shifted previous solution is available
+    # but off by default: the fresh schedule-aware guess aligns gait phases
+    # with the new window's head stance, which empirically tracks better.
+    warm_start: bool = False
     solver: SolverConfig = field(
         default_factory=lambda: SolverConfig(max_iters=70, tol=3e-3)
     )
@@ -113,13 +117,35 @@ class RecedingHorizonRunner:
         )
 
     # ------------------------------------------------------------------
-    def _plan_window(self, row, goal_r, goal_yaw, t0, terrain, cfg: RunnerConfig):
+    def _plan_window(self, row, goal_r, goal_yaw, t0, terrain, cfg: RunnerConfig, x_warm=None):
         """Solve one window from a trajectory row and sample it. Jitted parts
-        inside (solve/sample are already jit-compiled)."""
+        inside (solve/sample are already jit-compiled).  ``x_warm`` warm-starts
+        from the previous window's knots shifted toward the new start — the
+        reference's solver restart warm-starts implicitly via its spline
+        initialization from the CLI state."""
         spec = spec_from_row(row, goal_r, goal_yaw, terrain, cfg.K, cfg.window_duration)
-        res = solve(spec, terrain, cfg.solver)
+        x0 = None
+        if x_warm is not None:
+            x0 = self._shift_warm_start(x_warm, spec)
+        res = solve(spec, terrain, cfg.solver, x0=x0)
         table, contact = sample_trajectory(res.x, spec, hz=1000, t0=t0)
         return res, table, contact
+
+    @staticmethod
+    def _shift_warm_start(x_prev, spec):
+        """Translate the previous solution so its start matches the new
+        window's start state; blend toward the fresh initial guess for the
+        tail the previous window didn't cover."""
+        import jax.numpy as jnp
+
+        from qtos_tpu.solver.spec import unpack_state, pack_state
+
+        s = unpack_state(x_prev)
+        d_r = spec.start.r - s["r"][0]
+        r = s["r"] + d_r
+        p = s["p"] + d_r[None, None, :]
+        p = p.at[0].set(spec.start.feet)
+        return pack_state(r, s["th"], s["v"], s["w"], p, s["f"])
 
     def _stitch(self, at: int, table, contact):
         self.buffer = jax.lax.dynamic_update_slice(self.buffer, table, (at, 0))
@@ -175,6 +201,7 @@ class RecedingHorizonRunner:
         solve_times.append(time.time() - t_w)
         statuses.append(int(res.status))
         self._stitch(0, table, contact)
+        prev_x = res.x
 
         sim = state_from_row(self.buffer[0], self.terrain, c.control)
         sim = stance_warmup(sim, self.terrain, c.control, c.stance_warmup_steps)
@@ -201,12 +228,14 @@ class RecedingHorizonRunner:
                     planning_done = True
                 t_w = time.time()
                 res, table, contact = self._plan_window(
-                    row, jnp.asarray(goal_vec), jnp.asarray(gyaw), t_path, self.terrain, c
+                    row, jnp.asarray(goal_vec), jnp.asarray(gyaw), t_path, self.terrain, c,
+                    x_warm=prev_x if c.warm_start else None,
                 )
                 jax.block_until_ready(table)
                 solve_times.append(time.time() - t_w)
                 statuses.append(int(res.status))
                 self._stitch(at, table, contact)
+                prev_x = res.x
 
             # execute a forced chunk
             n_exec = min(c.f_steps, self.buffer_end - exec_idx)

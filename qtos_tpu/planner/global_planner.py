@@ -47,7 +47,16 @@ class GlobalPlanner:
         blocked = self._inflate(np.asarray(blocked) > 0.5, safety_margin_cells)
         self.blocked = blocked
 
-        cells = astar(blocked, self._to_cell(start_xy), self._to_cell(goal_xy))
+        try:
+            from qtos_tpu.runtime import native_astar, native_available
+
+            use_native = native_available()
+        except Exception:
+            use_native = False
+        if use_native:
+            cells = native_astar(blocked, self._to_cell(start_xy), self._to_cell(goal_xy))
+        else:
+            cells = astar(blocked, self._to_cell(start_xy), self._to_cell(goal_xy))
         if cells is None:
             raise RuntimeError(
                 f"global planner: no path from {tuple(start_xy)} to {tuple(goal_xy)}"
