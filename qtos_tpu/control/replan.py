@@ -47,6 +47,9 @@ class RunnerConfig:
     # but off by default: the fresh schedule-aware guess aligns gait phases
     # with the new window's head stance, which empirically tracks better.
     warm_start: bool = False
+    # Optional dynamic-terrain hook: (window_idx, terrain) -> terrain, applied
+    # before each replan (reference: exp_8 dynamic terrain / simulation.update).
+    terrain_update: object = None
     solver: SolverConfig = field(
         default_factory=lambda: SolverConfig(max_iters=70, tol=3e-3)
     )
@@ -84,6 +87,28 @@ def spec_from_row(row, goal_r, goal_yaw, terrain: Terrain, K: int, duration: flo
     )
 
 
+def plan_windows_batch(rows, goals_r, goals_yaw, terrain: Terrain, cfg: RunnerConfig):
+    """Speculatively solve k future windows in ONE batched call (the
+    multi-segment lookahead of SURVEY.md §5.7(c); the reference can only run
+    one Docker solve at a time).
+
+    Args:
+      rows: (k, 37) candidate start rows.
+      goals_r: (k, 3); goals_yaw: (k,).
+    Returns a batched SolveResult plus stacked (k, T, 37) tables/(k, T, 4) contacts.
+    """
+    import jax
+
+    from qtos_tpu.solver.solve import solve_batch
+
+    specs = jax.vmap(
+        lambda row, g, y: spec_from_row(row, g, y, terrain, cfg.K, cfg.window_duration)
+    )(rows, goals_r, goals_yaw)
+    res = solve_batch(specs, terrain, cfg.solver)
+    tables, contacts = jax.vmap(lambda x, s: sample_trajectory(x, s, hz=1000))(res.x, specs)
+    return res, tables, contacts
+
+
 class RecedingHorizonRunner:
     """Continuous long-distance locomotion via window stitching."""
 
@@ -108,10 +133,10 @@ class RecedingHorizonRunner:
         self.buffer_end = 0
 
         self._exec_jit = jax.jit(
-            lambda buf, start, s0: playback(
+            lambda buf, start, s0, terr: playback(
                 jax.lax.dynamic_slice(buf, (start, 0), (c.f_steps, 37)),
                 s0,
-                terrain,
+                terr,
                 c.control,
             )
         )
@@ -211,6 +236,11 @@ class RecedingHorizonRunner:
         reached = False
         planning_done = False
         for window in range(c.max_windows):
+            # dynamic terrain (exp_8): mutate the world between windows; the
+            # jitted solver/sim take terrain as data, so no recompilation
+            if c.terrain_update is not None:
+                self.terrain = c.terrain_update(window, self.terrain)
+
             # plan the next segment from the lookahead stitch row (overlaps
             # execution in the reference via a thread; sequenced here — the
             # TPU solve is far faster than the 2.5 s real-time budget)
@@ -241,7 +271,7 @@ class RecedingHorizonRunner:
             n_exec = min(c.f_steps, self.buffer_end - exec_idx)
             if n_exec <= 0:
                 break
-            sim, metrics = self._exec_jit(self.buffer, exec_idx, sim)
+            sim, metrics = self._exec_jit(self.buffer, exec_idx, sim, self.terrain)
             com_errs.append(np.asarray(metrics.com_err[:n_exec]))
             exec_idx += n_exec
 

@@ -113,6 +113,25 @@ def grad_at(terrain: Terrain, x, y):
     return dhdx, dhdy
 
 
+def shift_terrain(terrain: Terrain, rows: int = 0, cols: int = 0, fill: float = 0.0) -> Terrain:
+    """Dynamic-terrain update: scroll the height grid by (rows, cols) cells,
+    filling vacated cells (reference: QTOS/generateHeightField.py
+    Height_Map_Generator.update/shift_map + QTOS/simulation.py:102 dynamic
+    terrain).  jittable; shape is unchanged so downstream jits don't recompile."""
+    h = terrain.height
+    h = jnp.roll(h, (rows, cols), axis=(0, 1))
+    H, W = h.shape
+    if rows > 0:
+        h = h.at[:rows].set(fill)
+    elif rows < 0:
+        h = h.at[rows:].set(fill)
+    if cols > 0:
+        h = h.at[:, :cols].set(fill)
+    elif cols < 0:
+        h = h.at[:, cols:].set(fill)
+    return terrain.replace(height=h)
+
+
 def traversability_map(terrain: Terrain, height_bound: float = 0.2) -> jax.Array:
     """Boolean obstacle map from local height discontinuity, the cheap analog
     of the reference's solver-probed bool map (QTOS/planner.py:354-399 uses
