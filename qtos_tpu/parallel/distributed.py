@@ -1,0 +1,66 @@
+"""Multi-host scaling scaffolding.
+
+The scenario axis extends across hosts with `jax.distributed` + DCN: each
+host contributes its chips to one global mesh, scenario batches shard across
+all of them, and result gathers ride XLA collectives.  (The reference's only
+multi-host story was "run more Docker containers"; SURVEY.md §5.8.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from qtos_tpu.parallel.mesh import SCENARIO_AXIS
+from qtos_tpu.solver.solve import solve
+from qtos_tpu.solver.spec import SolverConfig
+from qtos_tpu.terrain.heightfield import Terrain
+
+
+def initialize_multihost(coordinator: str | None = None, num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Join this host to the cluster (call before any device use).
+
+    On Cloud TPU pods the arguments auto-detect; elsewhere pass them
+    explicitly (reference has no analog — Docker containers were manually
+    launched per machine)."""
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def global_scenario_mesh(axis: str = SCENARIO_AXIS) -> Mesh:
+    """Mesh over every device in the cluster (all hosts)."""
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def solve_batch_collective(specs, terrain: Terrain, cfg: SolverConfig, mesh: Mesh):
+    """shard_map-batched solve with an explicit all_gather of statuses.
+
+    Demonstrates the framework's collective pattern: per-shard solves run
+    independently (no comms in the hot loop), then the per-scenario status
+    vector is all-gathered over ICI/DCN so every host can stamp the full
+    feasibility map locally — the distributed version of the reference's
+    multiprocessing.Array merge (generateHeightField.py:210-213)."""
+
+    def shard_fn(local_specs):
+        res = jax.vmap(lambda s: solve(s, terrain, cfg))(local_specs)
+        statuses = jax.lax.all_gather(res.status, SCENARIO_AXIS, tiled=True)
+        return res.x, res.status, statuses
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS),),
+        out_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P()),
+        check_rep=False,
+    )
+    return fn(specs)
