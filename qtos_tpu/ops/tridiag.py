@@ -189,6 +189,14 @@ def block_tridiag_solve(D: jax.Array, L: jax.Array, b: jax.Array) -> jax.Array:
     return xs
 
 
+def _use_pallas_btd() -> bool:
+    import os
+
+    if os.environ.get("QTOS_NO_PALLAS"):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 @block_tridiag_solve.def_vmap
 def _block_tridiag_solve_vmap(axis_size, in_batched, D, L, b):
     del axis_size
@@ -197,6 +205,13 @@ def _block_tridiag_solve_vmap(axis_size, in_batched, D, L, b):
     if not db:
         D = jnp.broadcast_to(D[None], (b.shape[0] if bb else L.shape[0],) + D.shape)
         db = True
+    if _use_pallas_btd() and D.ndim == 4:
+        from qtos_tpu.ops.pallas.btd import btd_solve_pallas
+
+        B = D.shape[0]
+        Lb = L if lb else jnp.broadcast_to(L[None], (B,) + L.shape)
+        bb_ = b if bb else jnp.broadcast_to(b[None], (B,) + b.shape)
+        return btd_solve_pallas(D, Lb, bb_), True
     Dt = jnp.moveaxis(D, 0, -1)
     Lt = jnp.moveaxis(L, 0, -1) if lb else jnp.broadcast_to(L[..., None], L.shape + (Dt.shape[-1],))
     bt = jnp.moveaxis(b, 0, -1) if bb else jnp.broadcast_to(b[..., None], b.shape + (Dt.shape[-1],))
