@@ -239,3 +239,67 @@ def btd_solve_pallas(D: jax.Array, L: jax.Array, b: jax.Array, interpret: bool =
 
     x = jnp.moveaxis(x_t, -1, 1).reshape(Bp, K, n)
     return x[:B, :, :n_in]
+
+
+@jax.jit
+def btd_solve_pallas_lanes(D: jax.Array, L: jax.Array, b: jax.Array) -> jax.Array:
+    """Lanes-layout entry: D (K, n, n, B), L (K-1, n, n, B), b (K, n, B)
+    -> x (K, n, B).
+
+    The batch is already on the minor (lane) axis — the kernel's native
+    layout — so no (B, K, n, n) <-> lanes transpose of the ~200 MB system is
+    paid; only the cheap K/G regrouping of major axes.
+    """
+    K, n_in, _, B = D.shape
+    n = ((n_in + 7) // 8) * 8
+    if n != n_in:
+        padn = n - n_in
+        eye_pad = jnp.zeros((n, n), D.dtype).at[n_in:, n_in:].set(
+            jnp.eye(padn, dtype=D.dtype)
+        )[None, :, :, None]
+        Dp_ = jnp.zeros((K, n, n, B), D.dtype) + eye_pad
+        D = Dp_.at[:, :n_in, :n_in, :].set(D)
+        L = jnp.pad(L, ((0, 0), (0, padn), (0, padn), (0, 0)))
+        b = jnp.pad(b, ((0, 0), (0, padn), (0, 0)))
+    if B % LANES != 0:
+        padB = (-B) % LANES
+        eyeKn = jnp.broadcast_to(jnp.eye(n, dtype=D.dtype)[None, :, :, None], (K, n, n, padB))
+        D = jnp.concatenate([D, eyeKn], axis=-1)
+        L = jnp.concatenate([L, jnp.zeros((K - 1, n, n, padB), D.dtype)], axis=-1)
+        b = jnp.concatenate([b, jnp.zeros((K, n, padB), D.dtype)], axis=-1)
+    Bp = D.shape[-1]
+    G = Bp // LANES
+
+    Dt = jnp.moveaxis(D.reshape(K, n, n, G, LANES), 3, 0)          # (G, K, n, n, 128)
+    Lpad = jnp.concatenate([L, jnp.zeros((1, n, n, Bp), D.dtype)], 0)
+    Lt = jnp.moveaxis(Lpad.reshape(K, n, n, G, LANES), 3, 0)
+    bt = jnp.moveaxis(b.reshape(K, n, G, LANES), 2, 0)             # (G, K, n, 128)
+
+    kernel = functools.partial(_btd_kernel, K=K, n=n)
+    x_t, _ = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, K, n, LANES), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K, n, LANES), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, K, n, LANES), D.dtype),
+            jax.ShapeDtypeStruct((G, K, n, n, LANES), D.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, n, LANES), D.dtype),
+            pltpu.VMEM((n, n, LANES), D.dtype),
+            pltpu.VMEM((n, n, LANES), D.dtype),
+            pltpu.VMEM((n, n, LANES), D.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )(Dt, Lt, bt)
+
+    x = jnp.moveaxis(x_t, 0, 2).reshape(K, n, Bp)
+    return x[:, :n_in, :B]

@@ -6,6 +6,12 @@ derivative, so analytic assembly is ~an order of magnitude cheaper.  The only
 autodiff remnants are two 3-tangent jacfwds for the euler-rate and inertia
 terms' theta-dependence.
 
+Construction is concatenation-based, NOT scatter-based: every Jacobian is a
+`concatenate` of small dense blocks.  Under `vmap(B x K)` a `.at[...].set`
+into a zeros-(m, NV) matrix becomes a full pass over a ~700 MB array per
+update — dozens of such updates made assembly the solver bottleneck on TPU
+(HBM-bound).  Block concatenation writes each element exactly once.
+
 Validated row-for-row against the jacfwd of `transcription.knot_residuals` /
 `interval_residuals` in tests/test_jacobians.py — the two transcriptions must
 stay in lockstep.
@@ -13,17 +19,28 @@ stay in lockstep.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qtos_tpu.models.solo12 import Solo12
-from qtos_tpu.ops.rotations import euler_to_rot, omega_to_euler_rate, rx, ry, rz, skew
+from qtos_tpu.ops.rotations import euler_rate_matrix_inv, euler_to_rot, omega_to_euler_rate, rx, ry, rz, skew
 from qtos_tpu.solver.spec import FORCE_SCALE, NV, ProblemSpec, SolverConfig, unpack_state
 from qtos_tpu.solver.transcription import GRAVITY, KnotAux
 from qtos_tpu.terrain.heightfield import Terrain, grad_at, height_at
 
 # column offsets in the per-knot state vector
 C_R, C_TH, C_V, C_W, C_P, C_F = 0, 3, 6, 9, 12, 24
+
+# goal rows have a fixed sparsity pattern: rows = [r(3), yaw, 0.5*v(3), 0.5*w(3)]
+_P_GOAL = np.zeros((10, NV), np.float32)
+_P_GOAL[np.arange(3), np.arange(3)] = 1.0
+_P_GOAL[3, C_TH + 2] = 1.0
+_P_GOAL[np.arange(4, 7), C_V + np.arange(3)] = 0.5
+_P_GOAL[np.arange(7, 10), C_W + np.arange(3)] = 0.5
+_P_GOAL = jnp.asarray(_P_GOAL)
 
 
 def _rot_derivs(th):
@@ -45,6 +62,22 @@ def _rot_derivs(th):
     return R, dR
 
 
+def _embed_feet(vals):
+    """Per-foot row values (4, c) -> (4, 4c) block-diagonal rows.
+
+    out[i, i*c:(i+1)*c] = vals[i]; feet decouple, so each foot's row only
+    touches its own column block.
+    """
+    eye4 = jnp.eye(4, dtype=vals.dtype)
+    return (vals[:, None, :] * eye4[:, :, None]).reshape(4, -1)
+
+
+def _lift_p(vals):
+    """Foot-local p-column rows (4, 3) -> (4, NV)."""
+    z = jnp.zeros((4, 12), vals.dtype)
+    return jnp.concatenate([z, _embed_feet(vals), z], axis=1)
+
+
 def knot_system(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: SolverConfig):
     """Residuals + analytic Jacobian for one knot: ((m1,), (m1, NV))."""
     W = cfg.weights
@@ -53,58 +86,35 @@ def knot_system(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
     c = aux.contact
     swing = 1.0 - c
     fs = xk[C_F : C_F + 12].reshape(4, 3)
+    dt_ = xk.dtype
 
     h = height_at(terrain, p[:, 0], p[:, 1])
     hx, hy = grad_at(terrain, p[:, 0], p[:, 1])
-
-    rows = []
-    jacs = []
-
-    def add(res_vec, jac):
-        rows.append(res_vec)
-        jacs.append(jac)
-
-    def foot_rows_z(coef, zoff, mask):
-        """rows (4,): mask*(p_z - zoff - ...); jac on p cols."""
-        J = jnp.zeros((4, NV))
-        for i in range(4):
-            J = J.at[i, C_P + 3 * i + 0].set(-hx[i] * mask[i] * coef)
-            J = J.at[i, C_P + 3 * i + 1].set(-hy[i] * mask[i] * coef)
-            J = J.at[i, C_P + 3 * i + 2].set(mask[i] * coef)
-        return J
+    # foot-height gradient direction d(pz - h)/dp_i = [-hx, -hy, 1]
+    a_dir = jnp.stack([-hx, -hy, jnp.ones_like(hx)], axis=-1)  # (4, 3)
 
     # 1. terrain contact
     res_terr = (p[:, 2] - h) * c * W.terr
-    add(res_terr, foot_rows_z(W.terr, 0.0, c))
+    J_terr = _lift_p(a_dir * (c * W.terr)[:, None])
 
     # 2. swing clearance shaping
     bell = jnp.sin(jnp.pi * aux.swing_prog)
     res_clear = (p[:, 2] - (h + cfg.swing_clearance * bell)) * swing * W.clear
-    add(res_clear, foot_rows_z(W.clear, 0.0, swing))
+    J_clear = _lift_p(a_dir * (swing * W.clear)[:, None])
 
     # 3. no-penetration hinge: max(h - 0.005 - pz, 0) * swing * W.terr
     gpen = h - 0.005 - p[:, 2]
-    act = (gpen > 0.0).astype(xk.dtype)
+    act = (gpen > 0.0).astype(dt_)
     res_nopen = jnp.maximum(gpen, 0.0) * swing * W.terr
-    Jn = jnp.zeros((4, NV))
-    m3 = act * swing * W.terr
-    for i in range(4):
-        Jn = Jn.at[i, C_P + 3 * i + 0].set(hx[i] * m3[i])
-        Jn = Jn.at[i, C_P + 3 * i + 1].set(hy[i] * m3[i])
-        Jn = Jn.at[i, C_P + 3 * i + 2].set(-m3[i])
-    add(res_nopen, Jn)
+    J_nopen = _lift_p(-a_dir * (act * swing * W.terr)[:, None])
 
     # 4. swing force zero (stored-scale forces)
     res_fzero = (fs * swing[:, None]).reshape(12) * W.fzero
-    Jf = jnp.zeros((12, NV))
-    Jf = Jf.at[jnp.arange(12), C_F + jnp.arange(12)].set(
-        jnp.repeat(swing, 3) * W.fzero
+    J_fzero = jnp.concatenate(
+        [jnp.zeros((12, 24), dt_), jnp.diag(jnp.repeat(swing, 3) * W.fzero)], axis=1
     )
-    add(res_fzero, Jf)
 
     # 5. friction pyramid (6 rows per foot, stored-scale forces)
-    import math
-
     mu_t = cfg.mu_friction / math.sqrt(2.0)
     fx, fy, fz = fs[:, 0], fs[:, 1], fs[:, 2]
     fr = jnp.stack(
@@ -119,69 +129,49 @@ def knot_system(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
         axis=-1,
     )
     res_fric = (fr * c[:, None] * W.fric).reshape(24)
-    factive = (fr > 0.0).astype(xk.dtype)  # (4, 6)
-    Jfr = jnp.zeros((24, NV))
-    coefs = [  # (col offset within foot, dcol coeff, fz coeff)
-        (0, 1.0, -mu_t),
-        (0, -1.0, -mu_t),
-        (1, 1.0, -mu_t),
-        (1, -1.0, -mu_t),
-        (2, -2.0, 0.0),
-        (2, 1.0, 0.0),
-    ]
-    for i in range(4):
-        for j, (cc, a_c, a_z) in enumerate(coefs):
-            row = i * 6 + j
-            m = factive[i, j] * c[i] * W.fric
-            Jfr = Jfr.at[row, C_F + 3 * i + cc].add(a_c * m)
-            if a_z != 0.0:
-                Jfr = Jfr.at[row, C_F + 3 * i + 2].add(a_z * m)
-    add(res_fric, Jfr)
+    factive = (fr > 0.0).astype(dt_)                               # (4, 6)
+    base_rows = jnp.asarray(
+        [
+            [1.0, 0.0, -mu_t],
+            [-1.0, 0.0, -mu_t],
+            [0.0, 1.0, -mu_t],
+            [0.0, -1.0, -mu_t],
+            [0.0, 0.0, -2.0],
+            [0.0, 0.0, 1.0],
+        ],
+        dt_,
+    )                                                              # (6, 3)
+    fvals = (factive * (c * W.fric)[:, None])[:, :, None] * base_rows[None]  # (4,6,3)
+    eye4 = jnp.eye(4, dtype=dt_)
+    J_fric_f = (fvals[:, :, None, :] * eye4[:, None, :, None]).reshape(24, 12)
+    J_fric = jnp.concatenate([jnp.zeros((24, 24), dt_), J_fric_f], axis=1)
 
-    # 6/7. RoM hinges + posture: d = R^T (p - r) - nominal
+    # 6/7. RoM hinges + posture: d = R^T (p - r) - nominal.
+    # Row direction for (foot i, comp m): u = [-R[:,m] on r, dd_dth[i,m] on th,
+    # R[:,m] on p_i]; hi/lo/posture rows share u up to a gate.
     R, dR = _rot_derivs(th)
     d = jnp.einsum("ji,kj->ki", R, p - r[None, :]) - Solo12.nominal_feet
     box = jnp.asarray(cfg.rom_box)
     hi = jnp.maximum(d - box[None, :], 0.0)
     lo = jnp.maximum(-d - box[None, :], 0.0)
     res_rom = jnp.concatenate([hi, lo], axis=-1).reshape(24) * W.rom
-    # dd/dp_i = R^T ; dd/dr = -R^T ; dd/dth_j = dR_j^T (p - r)
-    dd_dth = jnp.einsum("jab,ka->kjb", dR, p - r[None, :])  # wait: (3,3,3),(4,3)
-    # dd/dth: for foot k, component m: sum_a dR[j][a, m] * (p-r)[k, a]
-    dd_dth = jnp.einsum("jam,ka->kmj", dR, p - r[None, :])  # (4, 3, 3): [foot, comp, theta_j]
-    act_hi = (d - box[None, :] > 0).astype(xk.dtype)
-    act_lo = (-d - box[None, :] > 0).astype(xk.dtype)
-
-    def d_jac_rows(sign_act, sgn):
-        """(12, NV) rows for sgn*d components gated by sign_act (4,3)."""
-        J = jnp.zeros((12, NV))
-        for i in range(4):
-            for mcomp in range(3):
-                row = i * 3 + mcomp
-                gate = sign_act[i, mcomp] * W.rom * sgn
-                J = J.at[row, C_P + 3 * i : C_P + 3 * i + 3].add(gate * R[:, mcomp])
-                J = J.at[row, C_R : C_R + 3].add(-gate * R[:, mcomp])
-                J = J.at[row, C_TH : C_TH + 3].add(gate * dd_dth[i, mcomp])
-        return J
-
-    Jhi = d_jac_rows(act_hi, 1.0)
-    Jlo = d_jac_rows(act_lo, -1.0)
-    # interleave hi/lo per foot to match [hi(3), lo(3)] concat layout:
-    res_rows_rom = jnp.zeros((24, NV))
-    for i in range(4):
-        res_rows_rom = res_rows_rom.at[i * 6 : i * 6 + 3].set(Jhi[i * 3 : i * 3 + 3])
-        res_rows_rom = res_rows_rom.at[i * 6 + 3 : i * 6 + 6].set(Jlo[i * 3 : i * 3 + 3])
-    add(res_rom, res_rows_rom)
-
     res_post = d.reshape(12) * W.post_reg
-    Jpost = jnp.zeros((12, NV))
-    for i in range(4):
-        for mcomp in range(3):
-            row = i * 3 + mcomp
-            Jpost = Jpost.at[row, C_P + 3 * i : C_P + 3 * i + 3].add(W.post_reg * R[:, mcomp])
-            Jpost = Jpost.at[row, C_R : C_R + 3].add(-W.post_reg * R[:, mcomp])
-            Jpost = Jpost.at[row, C_TH : C_TH + 3].add(W.post_reg * dd_dth[i, mcomp])
-    add(res_post, Jpost)
+
+    # dd/dth: for foot k, component m: sum_a dR[j][a, m] * (p-r)[k, a]
+    dd_dth = jnp.einsum("jam,ka->kmj", dR, p - r[None, :])         # (4, 3, 3)
+    Rcols = R.T                                                    # row m = R[:, m]
+    u_r = jnp.broadcast_to(-Rcols[None], (4, 3, 3))
+    u_p = (Rcols[None, :, None, :] * eye4[:, None, :, None]).reshape(4, 3, 12)
+    u = jnp.concatenate(
+        [u_r, dd_dth, jnp.zeros((4, 3, 6), dt_), u_p, jnp.zeros((4, 3, 12), dt_)],
+        axis=-1,
+    )                                                              # (4, 3, NV)
+    act_hi = (d - box[None, :] > 0).astype(dt_)
+    act_lo = (-d - box[None, :] > 0).astype(dt_)
+    J_hi = (act_hi * W.rom)[..., None] * u
+    J_lo = -(act_lo * W.rom)[..., None] * u
+    J_rom = jnp.concatenate([J_hi, J_lo], axis=1).reshape(24, NV)  # [hi(3), lo(3)]/foot
+    J_post = (W.post_reg * u).reshape(12, NV)
 
     # 8. init
     st = spec.start
@@ -192,9 +182,7 @@ def knot_system(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
         * aux.is_first
         * W.init
     )
-    Jinit = jnp.zeros((24, NV))
-    Jinit = Jinit.at[jnp.arange(24), jnp.arange(24)].set(aux.is_first * W.init)
-    add(res_init, Jinit)
+    J_init = (aux.is_first * W.init) * jnp.eye(24, NV, dtype=dt_)
 
     # 9. goal
     res_goal = (
@@ -202,15 +190,15 @@ def knot_system(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
         * aux.is_last
         * W.goal
     )
-    Jgoal = jnp.zeros((10, NV))
-    gw = aux.is_last * W.goal
-    Jgoal = Jgoal.at[jnp.arange(3), jnp.arange(3)].set(gw)
-    Jgoal = Jgoal.at[3, C_TH + 2].set(gw)
-    Jgoal = Jgoal.at[jnp.arange(4, 7), C_V + jnp.arange(3)].set(0.5 * gw)
-    Jgoal = Jgoal.at[jnp.arange(7, 10), C_W + jnp.arange(3)].set(0.5 * gw)
-    add(res_goal, Jgoal)
+    J_goal = (aux.is_last * W.goal) * _P_GOAL
 
-    return jnp.concatenate(rows), jnp.concatenate(jacs, axis=0)
+    res = jnp.concatenate(
+        [res_terr, res_clear, res_nopen, res_fzero, res_fric, res_rom, res_post, res_init, res_goal]
+    )
+    J = jnp.concatenate(
+        [J_terr, J_clear, J_nopen, J_fzero, J_fric, J_rom, J_post, J_init, J_goal], axis=0
+    )
+    return res, J
 
 
 def _wdot_and_derivs(r, th, w, p, f):
@@ -239,6 +227,10 @@ def _wdot_and_derivs(r, th, w, p, f):
     return wd, dwd_dr, dwd_dth, dwd_dp, dwd_df, dwd_dw
 
 
+def _hcat(*blocks):
+    return jnp.concatenate(blocks, axis=1)
+
+
 def interval_system(xa, xb, ca, cb, spec: ProblemSpec, cfg: SolverConfig):
     """Residuals + analytic Jacobians for one interval:
     ((m2,), (m2, NV), (m2, NV))  [Ja wrt x_k, Jb wrt x_{k+1}]."""
@@ -247,84 +239,74 @@ def interval_system(xa, xb, ca, cb, spec: ProblemSpec, cfg: SolverConfig):
     sa, sb = unpack_state(xa), unpack_state(xb)
     r0, th0, v0, w0, p0, f0 = sa["r"], sa["th"], sa["v"], sa["w"], sa["p"], sa["f"]
     r1, th1, v1, w1, p1, f1 = sb["r"], sb["th"], sb["v"], sb["w"], sb["p"], sb["f"]
+    dt_ = xa.dtype
 
-    I3 = jnp.eye(3)
-    m2 = 54
-    Ja = jnp.zeros((m2, NV))
-    Jb = jnp.zeros((m2, NV))
-    res = jnp.zeros(m2)
+    I3 = jnp.eye(3, dtype=dt_)
+    Z3 = jnp.zeros((3, 3), dt_)
+    Z312 = jnp.zeros((3, 12), dt_)
+    Z1212 = jnp.zeros((12, 12), dt_)
 
     # rows 0:3 dyn_r
     a_lin0 = jnp.sum(f0, axis=0) / Solo12.mass + GRAVITY
     a_lin1 = jnp.sum(f1, axis=0) / Solo12.mass + GRAVITY
-    res = res.at[0:3].set((r1 - r0 - 0.5 * dt * (v0 + v1)) * W.dyn_r)
-    Ja = Ja.at[0:3, C_R : C_R + 3].set(-I3 * W.dyn_r)
-    Jb = Jb.at[0:3, C_R : C_R + 3].set(I3 * W.dyn_r)
-    Ja = Ja.at[0:3, C_V : C_V + 3].set(-0.5 * dt * I3 * W.dyn_r)
-    Jb = Jb.at[0:3, C_V : C_V + 3].set(-0.5 * dt * I3 * W.dyn_r)
+    res_r = (r1 - r0 - 0.5 * dt * (v0 + v1)) * W.dyn_r
+    vcoef = -0.5 * dt * W.dyn_r * I3
+    Ja_r = _hcat(-I3 * W.dyn_r, Z3, vcoef, Z3, Z312, Z312)
+    Jb_r = _hcat(I3 * W.dyn_r, Z3, vcoef, Z3, Z312, Z312)
 
     # rows 3:6 dyn_th; rate = C^-1(th) w
     rate0 = omega_to_euler_rate(th0, w0)
     rate1 = omega_to_euler_rate(th1, w1)
-    res = res.at[3:6].set((th1 - th0 - 0.5 * dt * (rate0 + rate1)) * W.dyn_th)
-    from qtos_tpu.ops.rotations import euler_rate_matrix_inv
-
+    res_th = (th1 - th0 - 0.5 * dt * (rate0 + rate1)) * W.dyn_th
     Cinv0 = euler_rate_matrix_inv(th0)
     Cinv1 = euler_rate_matrix_inv(th1)
     drate0_dth = jax.jacfwd(lambda t: omega_to_euler_rate(t, w0))(th0)
     drate1_dth = jax.jacfwd(lambda t: omega_to_euler_rate(t, w1))(th1)
-    Ja = Ja.at[3:6, C_TH : C_TH + 3].set((-I3 - 0.5 * dt * drate0_dth) * W.dyn_th)
-    Jb = Jb.at[3:6, C_TH : C_TH + 3].set((I3 - 0.5 * dt * drate1_dth) * W.dyn_th)
-    Ja = Ja.at[3:6, C_W : C_W + 3].set(-0.5 * dt * Cinv0 * W.dyn_th)
-    Jb = Jb.at[3:6, C_W : C_W + 3].set(-0.5 * dt * Cinv1 * W.dyn_th)
+    Ja_th = _hcat(Z3, (-I3 - 0.5 * dt * drate0_dth) * W.dyn_th, Z3, -0.5 * dt * Cinv0 * W.dyn_th, Z312, Z312)
+    Jb_th = _hcat(Z3, (I3 - 0.5 * dt * drate1_dth) * W.dyn_th, Z3, -0.5 * dt * Cinv1 * W.dyn_th, Z312, Z312)
 
     # rows 6:9 dyn_v
-    res = res.at[6:9].set((v1 - v0 - 0.5 * dt * (a_lin0 + a_lin1)) * W.dyn_v)
-    Ja = Ja.at[6:9, C_V : C_V + 3].set(-I3 * W.dyn_v)
-    Jb = Jb.at[6:9, C_V : C_V + 3].set(I3 * W.dyn_v)
+    res_v = (v1 - v0 - 0.5 * dt * (a_lin0 + a_lin1)) * W.dyn_v
     fcoef = -0.5 * dt * FORCE_SCALE / Solo12.mass * W.dyn_v
-    for i in range(4):
-        Ja = Ja.at[6:9, C_F + 3 * i : C_F + 3 * i + 3].set(fcoef * I3)
-        Jb = Jb.at[6:9, C_F + 3 * i : C_F + 3 * i + 3].set(fcoef * I3)
+    fblk = jnp.tile(fcoef * I3, (1, 4))
+    Ja_v = _hcat(Z3, Z3, -I3 * W.dyn_v, Z3, Z312, fblk)
+    Jb_v = _hcat(Z3, Z3, I3 * W.dyn_v, Z3, Z312, fblk)
 
     # rows 9:12 dyn_w
     wd0, dwr0, dwth0, dwp0, dwf0, dww0 = _wdot_and_derivs(r0, th0, w0, p0, f0)
     wd1, dwr1, dwth1, dwp1, dwf1, dww1 = _wdot_and_derivs(r1, th1, w1, p1, f1)
-    res = res.at[9:12].set((w1 - w0 - 0.5 * dt * (wd0 + wd1)) * W.dyn_w)
+    res_w = (w1 - w0 - 0.5 * dt * (wd0 + wd1)) * W.dyn_w
     k = -0.5 * dt * W.dyn_w
-    Ja = Ja.at[9:12, C_W : C_W + 3].set((-I3 * W.dyn_w) + k * dww0)
-    Jb = Jb.at[9:12, C_W : C_W + 3].set((I3 * W.dyn_w) + k * dww1)
-    Ja = Ja.at[9:12, C_R : C_R + 3].set(k * dwr0)
-    Jb = Jb.at[9:12, C_R : C_R + 3].set(k * dwr1)
-    Ja = Ja.at[9:12, C_TH : C_TH + 3].set(k * dwth0)
-    Jb = Jb.at[9:12, C_TH : C_TH + 3].set(k * dwth1)
-    for i in range(4):
-        Ja = Ja.at[9:12, C_P + 3 * i : C_P + 3 * i + 3].set(k * dwp0[i])
-        Jb = Jb.at[9:12, C_P + 3 * i : C_P + 3 * i + 3].set(k * dwp1[i])
-        Ja = Ja.at[9:12, C_F + 3 * i : C_F + 3 * i + 3].set(k * dwf0[i] * FORCE_SCALE)
-        Jb = Jb.at[9:12, C_F + 3 * i : C_F + 3 * i + 3].set(k * dwf1[i] * FORCE_SCALE)
+
+    def _feet_cols(blocks):  # (4,3,3) foot blocks -> (3,12)
+        return jnp.moveaxis(blocks, 0, 1).reshape(3, 12)
+
+    Ja_w = _hcat(k * dwr0, k * dwth0, Z3, -I3 * W.dyn_w + k * dww0,
+                 k * _feet_cols(dwp0), k * FORCE_SCALE * _feet_cols(dwf0))
+    Jb_w = _hcat(k * dwr1, k * dwth1, Z3, I3 * W.dyn_w + k * dww1,
+                 k * _feet_cols(dwp1), k * FORCE_SCALE * _feet_cols(dwf1))
 
     # rows 12:24 stationarity, 24:36 footvel
     both = ca * cb
-    res = res.at[12:24].set(((p1 - p0) * both[:, None]).reshape(12) * W.stat)
-    res = res.at[24:36].set(((p1 - p0) * (1.0 - both[:, None])).reshape(12) * W.footvel_reg)
-    idx = jnp.arange(12)
+    res_stat = ((p1 - p0) * both[:, None]).reshape(12) * W.stat
+    res_fv = ((p1 - p0) * (1.0 - both[:, None])).reshape(12) * W.footvel_reg
     bmask = jnp.repeat(both, 3)
-    Ja = Ja.at[12 + idx, C_P + idx].set(-bmask * W.stat)
-    Jb = Jb.at[12 + idx, C_P + idx].set(bmask * W.stat)
-    Ja = Ja.at[24 + idx, C_P + idx].set(-(1.0 - bmask) * W.footvel_reg)
-    Jb = Jb.at[24 + idx, C_P + idx].set((1.0 - bmask) * W.footvel_reg)
+    Ja_stat = _hcat(Z1212, jnp.diag(-bmask * W.stat), Z1212)
+    Jb_stat = _hcat(Z1212, jnp.diag(bmask * W.stat), Z1212)
+    Ja_fv = _hcat(Z1212, jnp.diag(-(1.0 - bmask) * W.footvel_reg), Z1212)
+    Jb_fv = _hcat(Z1212, jnp.diag((1.0 - bmask) * W.footvel_reg), Z1212)
 
     # rows 36:42 acc reg, 42:54 force rate
-    res = res.at[36:39].set((v1 - v0) * W.acc_reg)
-    res = res.at[39:42].set((w1 - w0) * W.acc_reg)
-    res = res.at[42:54].set(((f1 - f0) / FORCE_SCALE).reshape(12) * W.f_reg)
-    i3 = jnp.arange(3)
-    Ja = Ja.at[36 + i3, C_V + i3].set(-W.acc_reg)
-    Jb = Jb.at[36 + i3, C_V + i3].set(W.acc_reg)
-    Ja = Ja.at[39 + i3, C_W + i3].set(-W.acc_reg)
-    Jb = Jb.at[39 + i3, C_W + i3].set(W.acc_reg)
-    Ja = Ja.at[42 + idx, C_F + idx].set(-W.f_reg)
-    Jb = Jb.at[42 + idx, C_F + idx].set(W.f_reg)
+    res_acc = jnp.concatenate([(v1 - v0) * W.acc_reg, (w1 - w0) * W.acc_reg])
+    res_fr = ((f1 - f0) / FORCE_SCALE).reshape(12) * W.f_reg
+    eye6 = jnp.eye(6, dtype=dt_)
+    Ja_acc = _hcat(jnp.zeros((6, 6), dt_), -W.acc_reg * eye6, jnp.zeros((6, 24), dt_))
+    Jb_acc = _hcat(jnp.zeros((6, 6), dt_), W.acc_reg * eye6, jnp.zeros((6, 24), dt_))
+    eye12 = jnp.eye(12, dtype=dt_)
+    Ja_fr = _hcat(jnp.zeros((12, 24), dt_), -W.f_reg * eye12)
+    Jb_fr = _hcat(jnp.zeros((12, 24), dt_), W.f_reg * eye12)
 
+    res = jnp.concatenate([res_r, res_th, res_v, res_w, res_stat, res_fv, res_acc, res_fr])
+    Ja = jnp.concatenate([Ja_r, Ja_th, Ja_v, Ja_w, Ja_stat, Ja_fv, Ja_acc, Ja_fr], axis=0)
+    Jb = jnp.concatenate([Jb_r, Jb_th, Jb_v, Jb_w, Jb_stat, Jb_fv, Jb_acc, Jb_fr], axis=0)
     return res, Ja, Jb

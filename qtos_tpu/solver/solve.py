@@ -69,28 +69,23 @@ def _merit(x, spec, terrain, cfg):
 
 
 def _assemble(x, spec, terrain, cfg):
-    """Residuals + block-tridiagonal Gauss-Newton system (analytic Jacobians
-    from qtos_tpu.solver.jacobians; autodiff equivalence is pinned by
-    tests/test_jacobians.py)."""
-    from qtos_tpu.solver.jacobians import interval_system, knot_system
+    """Block-tridiagonal Gauss-Newton system, assembled directly in block
+    space (qtos_tpu.solver.normal_eq) — no dense per-row Jacobian is ever
+    materialized.  Equivalence with the dense path (itself pinned to autodiff
+    by tests/test_jacobians.py) is pinned by tests/test_normal_eq.py."""
+    from qtos_tpu.solver.normal_eq import interval_normal, knot_normal
 
     aux = _aux(spec)
-    rho_k, Jk = jax.vmap(lambda xk, a: knot_system(xk, a, spec, terrain, cfg))(x, aux)
+    D, g, sq_k = jax.vmap(lambda xk, a: knot_normal(xk, a, spec, terrain, cfg))(x, aux)
 
-    rho_i, Ja, Jb = jax.vmap(
-        lambda a, b, ca, cb: interval_system(a, b, ca, cb, spec, cfg)
+    Daa, Dbb, L, ga, gb, sq_i = jax.vmap(
+        lambda a, b, ca, cb: interval_normal(a, b, ca, cb, spec, cfg)
     )(x[:-1], x[1:], spec.schedule.contact[:-1], spec.schedule.contact[1:])
 
-    D = jnp.einsum("kmi,kmj->kij", Jk, Jk)
-    D = D.at[:-1].add(jnp.einsum("kmi,kmj->kij", Ja, Ja))
-    D = D.at[1:].add(jnp.einsum("kmi,kmj->kij", Jb, Jb))
-    L = jnp.einsum("kmi,kmj->kij", Jb, Ja)                      # block at (k+1, k)
+    D = D.at[:-1].add(Daa).at[1:].add(Dbb)
+    g = g.at[:-1].add(ga).at[1:].add(gb)
 
-    g = jnp.einsum("kmi,km->ki", Jk, rho_k)
-    g = g.at[:-1].add(jnp.einsum("kmi,km->ki", Ja, rho_i))
-    g = g.at[1:].add(jnp.einsum("kmi,km->ki", Jb, rho_i))
-
-    merit = 0.5 * (jnp.sum(rho_k * rho_k) + jnp.sum(rho_i * rho_i))
+    merit = 0.5 * (jnp.sum(sq_k) + jnp.sum(sq_i))
     return D, L, g, merit
 
 
@@ -161,6 +156,101 @@ def solve(
         )
 
 
+def _use_lanes() -> bool:
+    import os
+
+    if os.environ.get("QTOS_NO_LANES"):
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def _lanes_linsolve(D, L, g):
+    """Batched BTD solve in lanes layout (K, n, n, N)."""
+    import os
+
+    if jax.default_backend() == "cpu" or os.environ.get("QTOS_NO_PALLAS"):
+        from qtos_tpu.ops.tridiag import _block_tridiag_solve_lanes
+
+        return _block_tridiag_solve_lanes(D, L, g)
+    from qtos_tpu.ops.pallas.btd import btd_solve_pallas_lanes
+
+    return btd_solve_pallas_lanes(D, L, g)
+
+
+def _solve_batch_lanes(
+    specs: ProblemSpec, terrain: Terrain, cfg: SolverConfig
+) -> SolveResult:
+    """Batch-on-lanes solver loop: every iterate keeps the scenario batch on
+    the minor (lane) axis — assembly (`assemble_lanes`), damping, and the
+    Pallas BTD solve all share the layout, so no per-iteration transposes of
+    the ~200 MB system are paid."""
+    from qtos_tpu.solver.assemble_lanes import assemble_lanes, lanes_spec
+
+    with jax.default_matmul_precision("highest"):
+        x0 = jax.vmap(lambda s: initial_guess(s, terrain, cfg))(specs)  # (B, K, NV)
+        B, K, _ = x0.shape
+        xT = jnp.transpose(x0, (2, 1, 0))                          # (NV, K, B)
+        ls = lanes_spec(specs)
+        dt = specs.dt
+        eyeNV = jnp.eye(NV, dtype=xT.dtype)[None, :, :, None]
+
+        def asm(xt):
+            return assemble_lanes(xt, ls, terrain, cfg, dt)
+
+        def body(_, carry):
+            x, x_best, D_b, L_b, g_b, merit_b, lm = carry
+            D, L, g, merit = asm(x)
+            accept = merit < merit_b                               # (B,)
+            a4 = accept[None, None, None, :]
+            a3 = accept[None, None, :]
+            x_best = jnp.where(a3, x, x_best)
+            D_b = jnp.where(a4, D, D_b)
+            L_b = jnp.where(a4, L, L_b)
+            g_b = jnp.where(a3, g, g_b)
+            merit_b = jnp.where(accept, merit, merit_b)
+            lm = jnp.clip(
+                jnp.where(accept, lm * 0.4, lm * 4.0), cfg.lm_min, cfg.lm_max
+            )
+            diag = jnp.transpose(jnp.diagonal(D_b, axis1=1, axis2=2), (0, 2, 1))
+            dmat = lm[None, None, :] * diag + 1e-8                 # (K, NV, B)
+            Dd = D_b + eyeNV * dmat[:, :, None, :]
+            dx = _lanes_linsolve(Dd, L_b, -g_b)                    # (K, NV, B)
+            return jnp.swapaxes(dx, 0, 1) + x_best, x_best, D_b, L_b, g_b, merit_b, lm
+
+        zeros_sys = (
+            jnp.zeros((K, NV, NV, B), xT.dtype),
+            jnp.zeros((K - 1, NV, NV, B), xT.dtype),
+            jnp.zeros((K, NV, B), xT.dtype),
+        )
+        x_trial, x_best, _, _, _, merit_b, lm = jax.lax.fori_loop(
+            0,
+            cfg.max_iters,
+            body,
+            (xT, xT, *zeros_sys, jnp.full((B,), jnp.inf, xT.dtype),
+             jnp.full((B,), cfg.lm_init, xT.dtype)),
+        )
+        # last trial point may be better than the last accepted one
+        merit_trial = asm(x_trial)[3]
+        accept = merit_trial < merit_b
+        xT_final = jnp.where(accept[None, None, :], x_trial, x_best)
+        merit = jnp.minimum(merit_trial, merit_b)
+
+        x = jnp.transpose(xT_final, (2, 1, 0))                     # (B, K, NV)
+        viol = jax.vmap(lambda xx, s: violations(xx, s, terrain, cfg))(x, specs)
+        max_v = jnp.max(jnp.stack([viol[k] for k in sorted(viol)], axis=-1), axis=-1)
+        status = jnp.where(max_v < cfg.tol, STATUS_CONVERGED, STATUS_MAX_ITERS).astype(
+            jnp.int32
+        )
+        return SolveResult(
+            x=x,
+            status=status,
+            merit=merit,
+            max_violation=max_v,
+            viol=viol,
+            iters=jnp.full((B,), cfg.max_iters, jnp.int32),
+        )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def solve_batch(
     specs: ProblemSpec,
@@ -172,5 +262,10 @@ def solve_batch(
     This is the end-to-end replacement for the reference's scenario fan-out
     (32 multiprocessing workers x `docker exec` TOWR solves — reference:
     QTOS/generateHeightField.py:344-404).
+
+    On TPU the whole iteration runs in batch-on-lanes layout; on CPU (tests,
+    virtual meshes) it falls back to the per-scenario vmap of `solve`.
     """
+    if _use_lanes():
+        return _solve_batch_lanes(specs, terrain, cfg)
     return jax.vmap(lambda s: solve(s, terrain, cfg))(specs)
