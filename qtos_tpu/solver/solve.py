@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from qtos_tpu.ops.tridiag import block_tridiag_solve
+from qtos_tpu.solver.assemble_lanes import assemble_lanes, lanes_spec
+from qtos_tpu.solver.normal_eq import interval_normal, knot_normal
 from qtos_tpu.solver.spec import NV, ProblemSpec, SolverConfig
 from qtos_tpu.solver.transcription import (
     KnotAux,
@@ -73,8 +75,6 @@ def _assemble(x, spec, terrain, cfg):
     space (qtos_tpu.solver.normal_eq) — no dense per-row Jacobian is ever
     materialized.  Equivalence with the dense path (itself pinned to autodiff
     by tests/test_jacobians.py) is pinned by tests/test_normal_eq.py."""
-    from qtos_tpu.solver.normal_eq import interval_normal, knot_normal
-
     aux = _aux(spec)
     D, g, sq_k = jax.vmap(lambda xk, a: knot_normal(xk, a, spec, terrain, cfg))(x, aux)
 
@@ -184,8 +184,6 @@ def _solve_batch_lanes(
     the minor (lane) axis — assembly (`assemble_lanes`), damping, and the
     Pallas BTD solve all share the layout, so no per-iteration transposes of
     the ~200 MB system are paid."""
-    from qtos_tpu.solver.assemble_lanes import assemble_lanes, lanes_spec
-
     with jax.default_matmul_precision("highest"):
         x0 = jax.vmap(lambda s: initial_guess(s, terrain, cfg))(specs)  # (B, K, NV)
         B, K, _ = x0.shape
