@@ -22,3 +22,29 @@ Alexyskoutnev/Quadruped-Trajectory-Optimization-Stack (arXiv:2309.09058):
 """
 
 __version__ = "0.1.0"
+
+
+def _setup_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache.
+
+    The batched solver's Mosaic/XLA compile is minutes cold but milliseconds
+    cached; replan loops, benchmarks, and repeated CLI runs all reuse the
+    same (shape, config) executables.  Opt out with QTOS_NO_COMPILE_CACHE=1;
+    relocate with JAX_COMPILATION_CACHE_DIR.
+    """
+    import os
+
+    if os.environ.get("QTOS_NO_COMPILE_CACHE"):
+        return
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/qtos_jax_cache")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_setup_compilation_cache()
