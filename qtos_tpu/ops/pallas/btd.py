@@ -204,13 +204,13 @@ def _pallas_btd_lanes_transposed(Dt, Ltt, bt, *, K, n, interpret=False):
         kernel,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, K, n, LANES), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, K, n, LANES), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, K, n, LANES), Dt.dtype),

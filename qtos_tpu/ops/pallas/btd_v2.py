@@ -209,13 +209,13 @@ def btd_solve_pallas_lanes_v2(
         kernel,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, K, n, lanes), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, K, n, lanes), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, K, n, lanes), D.dtype),

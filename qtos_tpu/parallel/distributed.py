@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from qtos_tpu.parallel.mesh import SCENARIO_AXIS
 from qtos_tpu.solver.solve import solve

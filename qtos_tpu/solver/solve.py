@@ -178,14 +178,18 @@ def _lanes_linsolve(D, L, g):
 
 
 def _solve_batch_lanes(
-    specs: ProblemSpec, terrain: Terrain, cfg: SolverConfig
+    specs: ProblemSpec,
+    terrain: Terrain,
+    cfg: SolverConfig,
+    x0: jax.Array | None = None,
 ) -> SolveResult:
     """Batch-on-lanes solver loop: every iterate keeps the scenario batch on
     the minor (lane) axis — assembly (`assemble_lanes`), damping, and the
     Pallas BTD solve all share the layout, so no per-iteration transposes of
     the ~200 MB system are paid."""
     with jax.default_matmul_precision("highest"):
-        x0 = jax.vmap(lambda s: initial_guess(s, terrain, cfg))(specs)  # (B, K, NV)
+        if x0 is None:
+            x0 = jax.vmap(lambda s: initial_guess(s, terrain, cfg))(specs)  # (B, K, NV)
         B, K, _ = x0.shape
         xT = jnp.transpose(x0, (2, 1, 0))                          # (NV, K, B)
         ls = lanes_spec(specs)
@@ -250,6 +254,19 @@ def _solve_batch_lanes(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _solve_pass(
+    specs: ProblemSpec,
+    terrain: Terrain,
+    cfg: SolverConfig,
+    x0: jax.Array | None = None,
+) -> SolveResult:
+    if _use_lanes():
+        return _solve_batch_lanes(specs, terrain, cfg, x0)
+    if x0 is None:
+        return jax.vmap(lambda s: solve(s, terrain, cfg))(specs)
+    return jax.vmap(lambda s, x: solve(s, terrain, cfg, x))(specs, x0)
+
+
 def solve_batch(
     specs: ProblemSpec,
     terrain: Terrain,
@@ -263,7 +280,69 @@ def solve_batch(
 
     On TPU the whole iteration runs in batch-on-lanes layout; on CPU (tests,
     virtual meshes) it falls back to the per-scenario vmap of `solve`.
+
+    With ``cfg.rescue_iters > 0`` a compacted second pass re-solves the
+    unconverged tail: indices of failed scenarios are gathered (static cap
+    ``max(B // rescue_frac, 128)``), warm-started from their pass-1 iterate,
+    run ``rescue_iters`` more LM iterations, and scattered back only where
+    the violation improved.  IPOPT adapts its iteration count per problem
+    (7-8 on this class — reference: logs/towr_log.out:64, 201); this is the
+    static-shape batch analog.  The two passes are separate XLA programs
+    (compiling both solver instances into one program is pathologically slow);
+    rescue therefore requires an eager call — under a trace (vmap/jit of
+    solve_batch itself) it falls back to the single pass.
     """
-    if _use_lanes():
-        return _solve_batch_lanes(specs, terrain, cfg)
-    return jax.vmap(lambda s: solve(s, terrain, cfg))(specs)
+    pass1_cfg = cfg.replace(rescue_iters=0) if cfg.rescue_iters > 0 else cfg
+    res = _solve_pass(specs, terrain, pass1_cfg)
+    if cfg.rescue_iters <= 0 or isinstance(res.status, jax.core.Tracer):
+        return res
+
+    import numpy as np
+
+    bad = np.flatnonzero(np.asarray(res.status) != STATUS_CONVERGED)
+    if bad.size == 0:
+        return res
+    B = res.x.shape[0]
+    cap = min(B, max(B // max(cfg.rescue_frac, 1), min(B, 128)))
+    idx = np.full(cap, B, np.int32)
+    idx[: min(bad.size, cap)] = bad[:cap]
+
+    cfg2 = cfg.replace(max_iters=cfg.rescue_iters, rescue_iters=0)
+    return _rescue_pass(specs, terrain, cfg2, res, jnp.asarray(idx))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _rescue_pass(
+    specs: ProblemSpec,
+    terrain: Terrain,
+    cfg: SolverConfig,
+    res: SolveResult,
+    idx: jax.Array,
+) -> SolveResult:
+    """Gather idx-selected scenarios, re-solve warm-started, merge improved.
+
+    One XLA program: the gather/scatter bookkeeping rides along with the
+    single rescue solver instance (eager per-leaf gathers cost a host round
+    trip each on a tunneled device).  Slots with idx == B are padding:
+    gathers clamp, scatters drop."""
+    B = res.x.shape[0]
+    idx_g = jnp.minimum(idx, B - 1)
+
+    sub = jax.tree_util.tree_map(lambda a: a[idx_g], specs)
+    res2 = _solve_pass(sub, terrain, cfg, res.x[idx_g])
+
+    valid = idx < B
+    improved = valid & (res2.max_violation < res.max_violation[idx_g])
+
+    def merge(old, new):
+        upd = jnp.where(improved.reshape((-1,) + (1,) * (new.ndim - 1)), new, old[idx_g])
+        return old.at[idx].set(upd, mode="drop")
+
+    return SolveResult(
+        x=merge(res.x, res2.x),
+        status=merge(res.status, res2.status),
+        merit=merge(res.merit, res2.merit),
+        max_violation=merge(res.max_violation, res2.max_violation),
+        viol=jax.tree_util.tree_map(merge, res.viol, res2.viol),
+        iters=merge(res.iters, res.iters[idx_g] + res2.iters),
+    )

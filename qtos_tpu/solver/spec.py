@@ -84,6 +84,13 @@ class Weights:
 @struct.dataclass
 class SolverConfig:
     max_iters: int = struct.field(pytree_node=False, default=30)
+    # Rescue pass: after `max_iters` LM iterations, gather the unconverged
+    # scenarios (at most batch/rescue_frac of them, at least one lane group),
+    # warm-start them from their current iterate, and run `rescue_iters` more
+    # iterations.  Adaptive iteration allocation with static shapes: the batch
+    # pays for the common case, stragglers get a compacted second pass.
+    rescue_iters: int = struct.field(pytree_node=False, default=0)
+    rescue_frac: int = struct.field(pytree_node=False, default=8)
     tol: float = 2e-3           # max unweighted constraint violation for "converged"
     lm_init: float = 1e-4
     lm_min: float = 1e-7

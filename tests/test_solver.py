@@ -157,3 +157,33 @@ def test_reference_golden_csv_parses():
     assert t.shape[1] == 37
     # decode: CoM z stays near stand height
     assert 0.1 < t[:, 3].mean() < 0.4
+
+
+def test_rescue_pass_improves_unconverged():
+    """Two-pass rescue: a starved first pass (2 iters) leaves stragglers; the
+    compacted warm-started rescue pass must converge them and only ever
+    improve per-scenario violations."""
+    B, K = 8, 13
+    goals = jnp.linspace(0.1, 0.45, B)
+    specs = jax.vmap(lambda g: default_spec(TERR, goal_xy=(g, 0.0), K=K, duration=1.5))(goals)
+
+    starved = solve_batch(specs, TERR, SolverConfig(max_iters=2))
+    rescued = solve_batch(specs, TERR, SolverConfig(max_iters=2, rescue_iters=20, rescue_frac=1))
+
+    v0 = np.asarray(starved.max_violation)
+    v1 = np.asarray(rescued.max_violation)
+    assert (v1 <= v0 + 1e-9).all()
+    assert (np.asarray(rescued.status) == 0).all()
+    # converged lanes from pass 1 must be untouched
+    ok = np.asarray(starved.status) == 0
+    np.testing.assert_array_equal(np.asarray(rescued.x)[ok], np.asarray(starved.x)[ok])
+
+
+def test_rescue_noop_when_all_converged():
+    B, K = 4, 13
+    goals = jnp.linspace(0.1, 0.3, B)
+    specs = jax.vmap(lambda g: default_spec(TERR, goal_xy=(g, 0.0), K=K, duration=1.5))(goals)
+    full = solve_batch(specs, TERR, SolverConfig(max_iters=25))
+    with_rescue = solve_batch(specs, TERR, SolverConfig(max_iters=25, rescue_iters=5))
+    assert (np.asarray(full.status) == 0).all()
+    np.testing.assert_array_equal(np.asarray(with_rescue.x), np.asarray(full.x))
