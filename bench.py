@@ -26,16 +26,21 @@ def main():
     from qtos_tpu.terrain import make_terrain
 
     terrain = make_terrain(["plane", "plane", "plane"])
-    # 16 LM iterations converge ~98% of this scenario distribution (vs 7-8
-    # interior-point iterations for IPOPT on the same problem class).
-    cfg = SolverConfig(max_iters=16)
+    # 4 LM iterations converge most of this scenario distribution; the
+    # compacted rescue pass (12 more iterations on the unconverged tail,
+    # <=B/8 scenarios) brings convergence to 100% — cheaper than running
+    # every scenario at the tail's iteration count.  (IPOPT runs 7-8
+    # interior-point iterations per solve on this problem class.)
+    cfg = SolverConfig(max_iters=4, rescue_iters=12)
     K = 41
 
     def build(batch):
         goals = jnp.linspace(0.3, 0.8, batch)
         return jax.vmap(lambda g: default_spec(terrain, goal_xy=(g, 0.0), K=K))(goals)
 
-    solve_c = jax.jit(lambda s: solve_batch(s, terrain, cfg))
+    # NOTE: called eagerly — solve_batch jits its passes internally, and the
+    # rescue pass needs the pass-1 statuses on host to compact the tail.
+    solve_c = lambda s: solve_batch(s, terrain, cfg)  # noqa: E731
 
     import os
 

@@ -50,6 +50,11 @@ class RunnerConfig:
     # Optional dynamic-terrain hook: (window_idx, terrain) -> terrain, applied
     # before each replan (reference: exp_8 dynamic terrain / simulation.update).
     terrain_update: object = None
+    # Checkpoint/resume (SURVEY.md §5.4 — the reference's "checkpoint" is the
+    # trajectory CSV itself plus the -s/-e1..e4 solver restart flags): write a
+    # full resume snapshot every N windows (0 = off) to checkpoint_path.
+    checkpoint_every: int = 0
+    checkpoint_path: str = "./data/checkpoint.npz"
     solver: SolverConfig = field(
         default_factory=lambda: SolverConfig(max_iters=70, tol=3e-3)
     )
@@ -131,6 +136,7 @@ class RecedingHorizonRunner:
         self.buffer = jnp.zeros((c.buffer_rows, 37), jnp.float32)
         self.contact_buf = jnp.zeros((c.buffer_rows, 4), jnp.float32)
         self.buffer_end = 0
+        self._st: dict | None = None  # live run state (see state_dict)
 
         self._exec_jit = jax.jit(
             lambda buf, start, s0, terr: playback(
@@ -188,8 +194,72 @@ class RecedingHorizonRunner:
             return hi - 1
         return target + int(idx)
 
+    # -- checkpoint / resume -------------------------------------------
+    # The resume unit is (trajectory buffer, contact buffer, sim state,
+    # execution cursor, solver warm start) — the TPU-native analog of the
+    # reference's CSV-as-checkpoint + solver restart ABI (combiner.py:
+    # 125-135, 170-191; SURVEY.md §5.4).
+
+    def _sim_template(self):
+        return state_from_row(self.buffer[0], self.terrain, self.cfg.control)
+
+    def state_dict(self) -> dict:
+        """Full resume snapshot as host numpy arrays."""
+        st = self._st
+        sim_leaves, _ = jax.tree_util.tree_flatten(st["sim"])
+        d = dict(
+            buffer=np.asarray(self.buffer),
+            contact_buf=np.asarray(self.contact_buf),
+            buffer_end=self.buffer_end,
+            exec_idx=st["exec_idx"],
+            window=st["window"],
+            planning_done=st["planning_done"],
+            prev_x=np.asarray(st["prev_x"]),
+            com_errs=np.concatenate(st["com_errs"]) if st["com_errs"] else np.zeros(0),
+            solve_times=np.asarray(st["solve_times"]),
+            statuses=np.asarray(st["statuses"]),
+        )
+        for i, leaf in enumerate(sim_leaves):
+            d[f"sim_{i}"] = np.asarray(leaf)
+        return d
+
+    def load_state_dict(self, d: dict) -> None:
+        self.buffer = jnp.asarray(d["buffer"])
+        self.contact_buf = jnp.asarray(d["contact_buf"])
+        self.buffer_end = int(d["buffer_end"])
+        _, treedef = jax.tree_util.tree_flatten(self._sim_template())
+        n_sim = treedef.num_leaves
+        sim = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(d[f"sim_{i}"]) for i in range(n_sim)]
+        )
+        com = np.asarray(d["com_errs"])
+        self._st = dict(
+            sim=sim,
+            exec_idx=int(d["exec_idx"]),
+            window=int(d["window"]),
+            planning_done=bool(d["planning_done"]),
+            prev_x=jnp.asarray(d["prev_x"]),
+            com_errs=[com] if com.size else [],
+            solve_times=list(np.asarray(d["solve_times"]).tolist()),
+            statuses=[int(s) for s in np.asarray(d["statuses"])],
+        )
+
+    def save_checkpoint(self, path: str | None = None) -> str:
+        import os
+
+        path = path or self.cfg.checkpoint_path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez_compressed(path, **self.state_dict())
+        return path
+
+    def restore(self, path: str) -> None:
+        """Load a checkpoint written by `save_checkpoint` into this runner
+        (must be constructed with the same terrain/goal/config)."""
+        with np.load(path, allow_pickle=False) as z:
+            self.load_state_dict(dict(z))
+
     # ------------------------------------------------------------------
-    def run(self, verbose: bool = True) -> RunReport:
+    def run(self, verbose: bool = True, resume_from: str | None = None) -> RunReport:
         c = self.cfg
         goal_r_final = np.array(
             [
@@ -201,41 +271,55 @@ class RecedingHorizonRunner:
             np.float32,
         )
 
-        # Initial solve from the canonical standing start (reference: main.py
-        # default start_config + combiner.plan_init).
-        x0, y0, yaw0 = float(self.planner._xk[0]), float(self.planner._yk[0]), 0.0
-        start_state = RobotState.standing((x0, y0), yaw=yaw0, terrain=self.terrain)
-        goal0, gyaw0 = self.planner.spine_step(0.0, c.window_duration)
-        row0 = jnp.concatenate(
-            [
-                jnp.zeros(1),
-                start_state.r,
-                start_state.eul,
-                start_state.feet.reshape(12),
-                start_state.v,
-                start_state.omega,
-                jnp.zeros(12),
-            ]
-        )
-        solve_times, statuses = [], []
-        t_w = time.time()
-        res, table, contact = self._plan_window(
-            row0, jnp.asarray(goal0), jnp.asarray(gyaw0), 0.0, self.terrain, c
-        )
-        jax.block_until_ready(table)
-        solve_times.append(time.time() - t_w)
-        statuses.append(int(res.status))
-        self._stitch(0, table, contact)
-        prev_x = res.x
+        if resume_from is not None:
+            self.restore(resume_from)
+        else:
+            # Initial solve from the canonical standing start (reference:
+            # main.py default start_config + combiner.plan_init).
+            x0, y0, yaw0 = float(self.planner._xk[0]), float(self.planner._yk[0]), 0.0
+            start_state = RobotState.standing((x0, y0), yaw=yaw0, terrain=self.terrain)
+            goal0, gyaw0 = self.planner.spine_step(0.0, c.window_duration)
+            row0 = jnp.concatenate(
+                [
+                    jnp.zeros(1),
+                    start_state.r,
+                    start_state.eul,
+                    start_state.feet.reshape(12),
+                    start_state.v,
+                    start_state.omega,
+                    jnp.zeros(12),
+                ]
+            )
+            t_w = time.time()
+            res, table, contact = self._plan_window(
+                row0, jnp.asarray(goal0), jnp.asarray(gyaw0), 0.0, self.terrain, c
+            )
+            jax.block_until_ready(table)
+            self._stitch(0, table, contact)
 
-        sim = state_from_row(self.buffer[0], self.terrain, c.control)
-        sim = stance_warmup(sim, self.terrain, c.control, c.stance_warmup_steps)
+            sim = state_from_row(self.buffer[0], self.terrain, c.control)
+            sim = stance_warmup(sim, self.terrain, c.control, c.stance_warmup_steps)
+            self._st = dict(
+                sim=sim,
+                exec_idx=0,
+                window=0,
+                planning_done=False,
+                prev_x=res.x,
+                com_errs=[],
+                solve_times=[time.time() - t_w],
+                statuses=[int(res.status)],
+            )
 
-        exec_idx = 0
-        com_errs = []
+        st = self._st
         reached = False
-        planning_done = False
-        for window in range(c.max_windows):
+        while st["window"] < c.max_windows:
+            window = st["window"]
+            sim = st["sim"]
+            exec_idx = st["exec_idx"]
+            planning_done = st["planning_done"]
+            solve_times = st["solve_times"]
+            statuses = st["statuses"]
+            com_errs = st["com_errs"]
             # dynamic terrain (exp_8): mutate the world between windows; the
             # jitted solver/sim take terrain as data, so no recompilation
             if c.terrain_update is not None:
@@ -256,16 +340,17 @@ class RecedingHorizonRunner:
                 if goal_dist < c.goal_tol:
                     goal_vec = goal_r_final
                     planning_done = True
+                    st["planning_done"] = True
                 t_w = time.time()
                 res, table, contact = self._plan_window(
                     row, jnp.asarray(goal_vec), jnp.asarray(gyaw), t_path, self.terrain, c,
-                    x_warm=prev_x if c.warm_start else None,
+                    x_warm=st["prev_x"] if c.warm_start else None,
                 )
                 jax.block_until_ready(table)
                 solve_times.append(time.time() - t_w)
                 statuses.append(int(res.status))
                 self._stitch(at, table, contact)
-                prev_x = res.x
+                st["prev_x"] = res.x
 
             # execute a forced chunk
             n_exec = min(c.f_steps, self.buffer_end - exec_idx)
@@ -274,6 +359,11 @@ class RecedingHorizonRunner:
             sim, metrics = self._exec_jit(self.buffer, exec_idx, sim, self.terrain)
             com_errs.append(np.asarray(metrics.com_err[:n_exec]))
             exec_idx += n_exec
+            st["sim"] = sim
+            st["exec_idx"] = exec_idx
+            st["window"] = window + 1
+            if c.checkpoint_every and (window + 1) % c.checkpoint_every == 0:
+                self.save_checkpoint()
 
             pos = np.asarray(sim.pos)
             if verbose:
@@ -287,6 +377,11 @@ class RecedingHorizonRunner:
             if planning_done and exec_idx >= self.buffer_end - 1:
                 break
 
+        sim = st["sim"]
+        exec_idx = st["exec_idx"]
+        solve_times = st["solve_times"]
+        statuses = st["statuses"]
+        com_errs = st["com_errs"]
         com = np.concatenate(com_errs) if com_errs else np.zeros(1)
         return RunReport(
             reached_goal=bool(

@@ -92,3 +92,39 @@ def test_graft_entry_contract():
     out = fn(*args)
     assert out[0].shape[0] == 4
     g.dryrun_multichip(4)
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    """Interrupt a run mid-way, restore into a fresh runner, finish the walk
+    (SURVEY.md §5.4: trajectory buffer + sim state + warm start as the
+    resume unit)."""
+    terr = make_terrain(["plane", "plane"])
+    ckpt = str(tmp_path / "ck.npz")
+
+    def mk_cfg(max_windows):
+        return RunnerConfig(
+            max_windows=max_windows,
+            solver=SolverConfig(max_iters=40, tol=4e-3),
+            stance_warmup_steps=300,
+            checkpoint_every=1,
+            checkpoint_path=ckpt,
+        )
+
+    r1 = RecedingHorizonRunner(terr, goal_xy=(2.0, 0.0), cfg=mk_cfg(2))
+    rep1 = r1.run(verbose=False)
+    assert not rep1.reached_goal  # interrupted early
+
+    # state round-trips exactly
+    r2 = RecedingHorizonRunner(terr, goal_xy=(2.0, 0.0), cfg=mk_cfg(10))
+    r2.restore(ckpt)
+    np.testing.assert_array_equal(np.asarray(r2.buffer), np.asarray(r1.buffer))
+    assert r2.buffer_end == r1.buffer_end
+    assert r2._st["exec_idx"] == r1._st["exec_idx"]
+    np.testing.assert_array_equal(
+        np.asarray(r2._st["sim"].pos), np.asarray(r1._st["sim"].pos)
+    )
+
+    rep2 = r2.run(verbose=False, resume_from=ckpt)
+    assert rep2.reached_goal
+    assert rep2.final_pos[0] > 1.7
+    assert rep2.windows > rep1.windows    # history carried across the resume
