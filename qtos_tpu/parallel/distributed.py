@@ -61,6 +61,6 @@ def solve_batch_collective(specs, terrain: Terrain, cfg: SolverConfig, mesh: Mes
         mesh=mesh,
         in_specs=(P(SCENARIO_AXIS),),
         out_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(specs)
