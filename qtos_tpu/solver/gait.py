@@ -74,3 +74,44 @@ def walk_schedule(K: int, dt: float, period: float = 0.8, duty: float = 0.75,
     """Lateral-sequence walk (one foot in swing at a time)."""
     return trot_schedule(K, dt, period=period, duty=duty, offsets=offsets,
                          stance_head=stance_head, stance_tail=stance_tail)
+
+
+def pace_schedule(K: int, dt: float, period: float = 0.5, duty: float = 0.55,
+                  stance_head: float = 0.2, stance_tail: float = 0.2) -> GaitSchedule:
+    """Pace: lateral pairs (FL+HL, FR+HR) alternate.  TOWR ships this gait
+    family (its C2/pace preset); schedules being data (not variable-set
+    structure) means it batches with every other gait in one compiled solver.
+
+    Note: pace/bound plans satisfy the SRB NLP but two-foot lateral/axial
+    support is dynamically marginal for SOLO12 — the PD tracking controller
+    follows trot and walk plans well, pace/bound only at reduced speed.  The
+    reference pins trot for the same reason (solo12.yml offsets)."""
+    return trot_schedule(K, dt, period=period, duty=duty,
+                         offsets=(0.5, 0.0, 0.5, 0.0),
+                         stance_head=stance_head, stance_tail=stance_tail)
+
+
+def bound_schedule(K: int, dt: float, period: float = 0.45, duty: float = 0.6,
+                   stance_head: float = 0.2, stance_tail: float = 0.2) -> GaitSchedule:
+    """Bound: front pair (FL+FR) and hind pair (HL+HR) alternate."""
+    return trot_schedule(K, dt, period=period, duty=duty,
+                         offsets=(0.0, 0.0, 0.5, 0.5),
+                         stance_head=stance_head, stance_tail=stance_tail)
+
+
+GAIT_REGISTRY = {
+    "trot": trot_schedule,
+    "walk": walk_schedule,
+    "pace": pace_schedule,
+    "bound": bound_schedule,
+    "stand": lambda K, dt, **kw: stand_schedule(K),
+}
+
+
+def make_schedule(name: str, K: int, dt: float, **kwargs) -> GaitSchedule:
+    """Config-driven gait selection (analog of TOWR's gait presets; the
+    reference pins trot via solo12.yml offsets/trot_2_stance_ratio)."""
+    try:
+        return GAIT_REGISTRY[name](K, dt, **kwargs)
+    except KeyError as e:
+        raise KeyError(f"unknown gait {name!r}; known: {sorted(GAIT_REGISTRY)}") from e

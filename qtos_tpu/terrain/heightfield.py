@@ -132,6 +132,31 @@ def shift_terrain(terrain: Terrain, rows: int = 0, cols: int = 0, fill: float = 
     return terrain.replace(height=h)
 
 
+def export_heightfield_txt(terrain: Terrain, path: str, towr_frame: bool = False) -> None:
+    """Write the height grid as whitespace txt, the reference's on-disk
+    heightfield interchange format.
+
+    The reference exports TWO txt variants (QTOS/generateHeightField.py:
+    562-571 create_height_file x2): the PyBullet row-major grid, and a
+    "TOWR-frame" export that is transposed with the first column dropped so
+    the solver indexes (x, y) instead of (row, col).  ``towr_frame=True``
+    reproduces that adjusted layout for tooling that consumed the old files.
+    """
+    grid = np.asarray(terrain.height)
+    if towr_frame:
+        grid = grid.T[:, 1:] if grid.shape[0] > 1 else grid.T
+    np.savetxt(path, grid, fmt="%.6f")
+
+
+def import_heightfield_txt(path: str, resolution: float = 0.1,
+                           origin: tuple = (-1.0, -1.0)) -> Terrain:
+    """Load a reference-format heightfield txt into a Terrain
+    (counterpart of QTOS/generateHeightField.py:100 heighmap_2_np_reader)."""
+    grid = np.loadtxt(path, dtype=np.float32)
+    return Terrain(height=jnp.asarray(np.atleast_2d(grid)), resolution=resolution,
+                   origin=origin)
+
+
 def traversability_map(terrain: Terrain, height_bound: float = 0.2) -> jax.Array:
     """Boolean obstacle map from local height discontinuity, the cheap analog
     of the reference's solver-probed bool map (QTOS/planner.py:354-399 uses

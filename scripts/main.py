@@ -35,6 +35,8 @@ def build_parser():
     p.add_argument("--record", "-r", action="store_true", help="record realized joint trajectory CSV for hardware replay")
     p.add_argument("--out", default="data", help="artifact output dir")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", nargs="?", const="./logs/jax-trace", default=None,
+                   metavar="DIR", help="capture a jax.profiler device trace of the run")
     return p
 
 
@@ -85,7 +87,14 @@ def main(argv=None):
     runner = RecedingHorizonRunner(terrain, goal, cfg=cfg, blocked=blocked)
     runner.planner.save_plot(os.path.join(args.out, "global_plan.png"))
     t0 = time.time()
-    report = runner.run()
+    if args.profile:
+        from qtos_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            report = runner.run()
+        print(f"device trace written to {args.profile} (view with tensorboard)")
+    else:
+        report = runner.run()
     wall = time.time() - t0
 
     save_tracking_artifacts(report, args.out)

@@ -1,0 +1,84 @@
+"""Gait registry + profiling/telemetry tests (round 2 additions)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from qtos_tpu.solver import SolverConfig, default_spec
+from qtos_tpu.solver.gait import (
+    GAIT_REGISTRY,
+    bound_schedule,
+    make_schedule,
+    pace_schedule,
+    trot_schedule,
+)
+from qtos_tpu.solver.solve import solve
+from qtos_tpu.terrain import make_terrain
+
+
+def test_registry_names_and_shapes():
+    for name in GAIT_REGISTRY:
+        s = make_schedule(name, 25, 0.1)
+        assert s.contact.shape == (25, 4), name
+        assert s.swing_progress.shape == (25, 4), name
+        c = np.asarray(s.contact)
+        assert set(np.unique(c)).issubset({0.0, 1.0}), name
+        # every schedule opens and closes in full stance (stitch points)
+        np.testing.assert_allclose(c[0], 1.0)
+        np.testing.assert_allclose(c[-1], 1.0)
+
+
+def test_pace_lateral_pairs_and_bound_axial_pairs():
+    K = 41
+    pace = np.asarray(pace_schedule(K, 2.5 / (K - 1)).contact)
+    mid = pace[8:-8]
+    # FL==HL and FR==HR throughout (lateral pairs move together)
+    np.testing.assert_allclose(mid[:, 0], mid[:, 2])
+    np.testing.assert_allclose(mid[:, 1], mid[:, 3])
+    assert mid.min() == 0.0
+
+    bound = np.asarray(bound_schedule(K, 2.5 / (K - 1)).contact)
+    mid = bound[8:-8]
+    # FL==FR and HL==HR (front/hind pairs move together)
+    np.testing.assert_allclose(mid[:, 0], mid[:, 1])
+    np.testing.assert_allclose(mid[:, 2], mid[:, 3])
+    assert mid.min() == 0.0
+
+
+def test_unknown_gait_raises():
+    import pytest
+
+    with pytest.raises(KeyError):
+        make_schedule("gallop-nope", 25, 0.1)
+
+
+def test_pace_solve_converges():
+    terrain = make_terrain(["plane"])
+    K = 33
+    sched = pace_schedule(K, 2.5 / (K - 1))
+    spec = default_spec(terrain, goal_xy=(0.35, 0.0), K=K, schedule=sched)
+    res = solve(spec, terrain, SolverConfig(max_iters=60))
+    assert int(res.status) == 0
+
+
+def test_solve_telemetry_fields():
+    from qtos_tpu.utils.profiling import Timer, solve_telemetry
+
+    terrain = make_terrain(["plane"])
+    spec = default_spec(terrain, goal_xy=(0.2, 0.0), K=13, duration=1.5)
+    with Timer() as t:
+        res = solve(spec, terrain, SolverConfig(max_iters=20))
+        t.block(res.x)
+    tel = solve_telemetry(res, t.elapsed)
+    assert tel["batch"] == 1
+    assert 0.0 <= tel["convergence_rate"] <= 1.0
+    assert tel["solves_per_s"] > 0
+    assert tel["max_violation_max"] >= tel["max_violation_p50"]
+
+
+def test_trace_annotate_smoke(tmp_path):
+    from qtos_tpu.utils.profiling import annotate, trace
+
+    with trace(str(tmp_path / "trace")):
+        with annotate("tiny"):
+            x = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+            x.block_until_ready()
