@@ -57,10 +57,18 @@ class Timer:
         return self
 
     def block(self, *outs):
+        """Force completion of `outs`.  Besides block_until_ready, fetches one
+        element of each array to host: on tunneled/remote devices
+        block_until_ready can return before the producing computation has
+        executed, while a host fetch cannot."""
         import jax
+        import numpy as np
 
         for o in outs:
-            jax.block_until_ready(o)
+            for leaf in jax.tree.leaves(o):
+                jax.block_until_ready(leaf)
+                if hasattr(leaf, "ravel") and getattr(leaf, "size", 0) > 0:
+                    np.asarray(leaf.ravel()[0])
 
     def __exit__(self, *exc):
         self.elapsed = time.perf_counter() - self.t0
