@@ -45,10 +45,10 @@ def test_srb_linear_dynamics(tab):
 
     The SRB mass is inferred from the data (mean total fz / g ≈ 3.0 kg):
     TOWR's solo12 fork models a heavier SRB than the 1.16 kg `mass:` entry in
-    the reference's solo12.yml, which is only the URDF's dummy base link
-    (trunk link alone is 2.5 kg, full URDF 5.0 kg).  Our Solo12.mass = 2.5
-    (trunk) is the consistent choice for our own solver+sim pair; parity here
-    is about the constraint FORM, so we evaluate at TOWR's implied mass."""
+    the reference's solo12.yml, which is only the URDF's commented-out dummy
+    base-link mass (real links total 3.84 kg).  Solo12.mass adopts this
+    identified 3.0 kg (see tests/test_towr_deviation.py::test_srb_mass_matches_towr),
+    making solver, sim, and the deviation gate all consistent with TOWR."""
     t, r, eul, feet, v, f = _cols(tab)
     fz_sum = f[..., 2].sum(axis=1)
     m = fz_sum.mean() / G
