@@ -56,10 +56,10 @@ def main():
         _ = np.asarray(res.status)            # compile + warm (forced fetch)
         t0 = time.time()
         res = solve_c(specs)
-        # NOTE: end timing on a host fetch of the statuses, not
-        # block_until_ready — on tunneled devices the latter can return
-        # before the rescue pass has executed; consuming the statuses is
-        # also how real callers use the result.
+        # NOTE: end timing on a host fetch of the statuses: consuming them is
+        # what real callers do, and it transitively forces the eager rescue
+        # pass (which dispatches only after pass-1 statuses are read), making
+        # it the honest end-to-end marker.
         conv = int(np.sum(np.asarray(res.status) == 0))
         dt = time.time() - t0
         rate = B / dt

@@ -21,6 +21,8 @@ class ExperimentConfig:
     random_env: bool = False
     bool_map_search: bool = False   # probe feasibility map with batched solves
     avg_speed: float = 0.22
+    gait: str = "trot"              # key into solver.gait.GAIT_REGISTRY
+    dynamic_terrain: bool = False   # exp_8: spawn obstacles mid-run
     sim_steps: int = 31000          # reference SIM_STEPS
     description: str = ""
 
@@ -44,7 +46,7 @@ EXPERIMENTS: dict[str, ExperimentConfig] = {
     ),
     # reference: experiment_4_rough_terrain.yml (random_terrain x3, scale 5)
     "exp_4": ExperimentConfig(
-        "exp_4", ("random_terrain", "random_terrain", "random_terrain"), (3.8, 0.0),
+        "exp_4", ("random_terrain_1", "random_terrain_1", "random_terrain_1"), (3.8, 0.0),
         mesh_scale=2, sim_steps=60000, description="rough random terrain",
     ),
     # reference: experiment_5_extreme_climbing.yml (climb_2, climb_1, scale 11)
@@ -54,19 +56,21 @@ EXPERIMENTS: dict[str, ExperimentConfig] = {
     ),
     # reference: experiment_6_stairs.yml (stairs, stairs_1, stairs_1, plane)
     "exp_6": ExperimentConfig(
-        "exp_6", ("stairs", "stairs_1", "stairs_1", "plane"), (5.5, 0.0),
+        "exp_6", ("stair", "stair_1", "stair_1", "plane"), (5.5, 0.0),
         mesh_scale=2, sim_steps=21000, description="staircases",
     ),
     # reference: experiment_7_climb_obstacle.yml (stairs, bridge)
     "exp_7": ExperimentConfig(
-        "exp_7", ("stairs", "bridge"), (2.4, 0.0), mesh_scale=2,
+        "exp_7", ("stair", "bridge"), (2.4, 0.0), mesh_scale=2,
         sim_steps=33000, description="climb onto a bridge obstacle",
     ),
     # reference: experiment_8_dynamic_terrain.yml (plane, obstacle, plane)
     "exp_8": ExperimentConfig(
         "exp_8", ("plane", "obstacle", "plane"), (3.8, 0.0),
         random_env=True, bool_map_search=True, sim_steps=61000,
-        description="obstacle field with randomized environment",
+        dynamic_terrain=True,
+        description="obstacle field with randomized environment and "
+                    "mid-run obstacle spawns (reference simulation.update)",
     ),
     # reference: experiment_9_continous_walking.yml (plane x7)
     "exp_9": ExperimentConfig(

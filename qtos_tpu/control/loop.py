@@ -33,23 +33,43 @@ class ControlParams:
     ee_shift: float = 0.0
     use_force_ff: bool = struct.field(pytree_node=False, default=True)
     # "live": re-express planned feet in the live base frame (the reference's
-    # towr_transform semantics — tolerates base lag, never corrects it; the
-    # stable choice). "plan": track planned world-frame feet against the live
-    # base pose — corrects lag but destabilizes under large errors.
-    frame: str = struct.field(pytree_node=False, default="live")
-    # Proportional correction of base lag applied to foot targets in "plan"
-    # mode (1.0 = full correction; high values fight slip but add stiffness).
-    base_corr: float = 1.0
+    # towr_transform semantics — tolerates base lag, never corrects it).
+    # "hybrid" (default): live-frame targets PLUS a clipped proportional
+    # correction of the world-frame base error — the live conveyor keeps
+    # driving the gait while drift is steered out through foot placement.
+    # "plan": track planned world-frame feet against the live base pose —
+    # removes the live-frame drive entirely and diverges; kept for study.
+    frame: str = struct.field(pytree_node=False, default="hybrid")
+    # Proportional gain on the world-frame base error in "hybrid"/"plan"
+    # modes (fraction of the error fed back into foot targets per tick).
+    # Tuned on the exp_1 continuous run: 0.5 -> avg_com_err_per_s 47.5 (vs
+    # 98.8 uncorrected "live", and the reference's own logged ~60); >=2.0
+    # destabilizes.
+    base_corr: float = 0.5
+    # Per-axis cap on the hybrid correction shift [m] — the stabilizer that
+    # keeps corrected targets inside the leg workspace no matter the drift.
+    max_corr: float = 0.04
+    # Time constant [s] of the low-pass filter on the per-foot correction:
+    # the stance/swing split flips each foot's correction sign at contact
+    # transitions, and feeding that step change straight into the joint
+    # targets excites slip/oscillation; filtering it removes the chatter.
+    corr_tau: float = 0.05
 
 
 @struct.dataclass
 class TrackingMetrics:
-    """Per-episode tracking summary (reference: QTOS/tracking.py:90-200)."""
+    """Per-episode tracking series (reference: QTOS/tracking.py:90-200).
+
+    Carries the realized CoM/feet trajectories so the host can render the
+    reference's four tracking plots (CoM track, per-foot ref-vs-sim panels,
+    error, error-vs-distance — QTOS/tracking.py:202-401) with real data."""
 
     com_err: jax.Array        # (T,) per-tick CoM L2 error vs plan
     ee_err: jax.Array         # (T,) mean foot L2 error vs plan
     cum_com_err: jax.Array    # () cumulative CoM error
     avg_com_err_per_s: jax.Array  # () the reference's headline metric (x1000 scale)
+    pos: jax.Array            # (T, 3) realized CoM positions
+    feet: jax.Array           # (T, 4, 3) realized world foot positions
 
 
 def decode_row(row: jax.Array):
@@ -76,12 +96,31 @@ def plan_joint_targets(row, params: ControlParams):
 
 
 def _tick(carry, row, terrain: Terrain, params: ControlParams):
-    state, q_des_prev = carry
+    state, q_des_prev, corr_filt = carry
     q_des_plan, cmd = plan_joint_targets(row, params)
     qd_des = (q_des_plan - q_des_prev) / params.sim.dt
 
     if params.frame == "live":
         q_des = q_des_plan
+    elif params.frame == "hybrid":
+        # Clipped world-error steering, split by contact role: planted feet
+        # get +err (their base-frame targets shift toward the drift, levering
+        # the base back onto the plan), swing feet get -err in xy (so they
+        # touch down at the ABSOLUTE planned spots instead of the drifted
+        # ones).  The cap keeps corrected targets inside the leg workspace
+        # under any drift; the per-foot low-pass removes the sign-flip step
+        # at contact transitions.
+        R_plan = euler_to_rot(cmd["eul"])
+        err_w = state.pos - cmd["r"]
+        corr_w = jnp.clip(params.base_corr * err_w, -params.max_corr, params.max_corr)
+        corr_b = corr_w @ R_plan                      # (3,)
+        stance = (cmd["f"][:, 2] > 1.0)[:, None]      # planned contact
+        delta = jnp.where(stance, corr_b[None, :], -corr_b[None, :] * jnp.array([1.0, 1.0, 0.0]))
+        alpha = params.sim.dt / jnp.maximum(params.corr_tau, params.sim.dt)
+        corr_filt = corr_filt + alpha * (delta - corr_filt)
+        feet_b = (cmd["feet"] - cmd["r"]) @ R_plan + corr_filt
+        feet_b = feet_b.at[:, 2].add(params.ee_shift)
+        q_des = Solo12.ik(feet_b)
     else:
         # world-frame tracking: place feet at (lag-corrected) planned world
         # positions relative to the live base pose
@@ -108,7 +147,7 @@ def _tick(carry, row, terrain: Terrain, params: ControlParams):
     com_err = jnp.linalg.norm(new_state.pos - cmd["r"])
     feet_w = Solo12.fk_world(new_state.q, new_state.pos, new_state.eul)
     ee_err = jnp.mean(jnp.linalg.norm(feet_w - cmd["feet"], axis=-1))
-    return (new_state, q_des_plan), (com_err, ee_err)
+    return (new_state, q_des_plan, corr_filt), (com_err, ee_err, new_state.pos, feet_w)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -123,16 +162,17 @@ def playback(
     Returns (final_state, TrackingMetrics).
     """
     q_des0, _ = plan_joint_targets(table[0], params)
-    (final, _), (com_err, ee_err) = jax.lax.scan(
-        lambda c, r: _tick(c, r, terrain, params), (state0, q_des0), table
+    carry0 = (state0, q_des0, jnp.zeros((4, 3)))
+    (final, _, _), (com_err, ee_err, pos, feet) = jax.lax.scan(
+        lambda c, r: _tick(c, r, terrain, params), carry0, table
     )
     T = table.shape[0]
-    dt = params.sim.dt
     cum = jnp.sum(com_err)
     # reference metric: cumulative error / elapsed seconds, x1000
     avg_per_s = cum / jnp.maximum(T, 1) * 1000.0
     return final, TrackingMetrics(
-        com_err=com_err, ee_err=ee_err, cum_com_err=cum, avg_com_err_per_s=avg_per_s
+        com_err=com_err, ee_err=ee_err, cum_com_err=cum, avg_com_err_per_s=avg_per_s,
+        pos=pos, feet=feet,
     )
 
 
@@ -182,18 +222,15 @@ def playback_recorded(
         tau = pd_torque(params.motor, q_des, qd_des, state.q, state.qd, tau_ff)
         new_state = sim_step(state, tau, terrain, params.sim)
         com_err = jnp.linalg.norm(new_state.pos - cmd["r"])
-        ee_err = jnp.mean(
-            jnp.linalg.norm(
-                Solo12.fk_world(new_state.q, new_state.pos, new_state.eul) - cmd["feet"],
-                axis=-1,
-            )
-        )
+        feet_w = Solo12.fk_world(new_state.q, new_state.pos, new_state.eul)
+        ee_err = jnp.mean(jnp.linalg.norm(feet_w - cmd["feet"], axis=-1))
         out = dict(
             q=new_state.q,
             qd=new_state.qd,
             tau=tau,
             pos=new_state.pos,
             eul=new_state.eul,
+            feet=feet_w,
             com_err=com_err,
             ee_err=ee_err,
         )
@@ -208,6 +245,8 @@ def playback_recorded(
         ee_err=traces["ee_err"],
         cum_com_err=cum,
         avg_com_err_per_s=cum / jnp.maximum(T, 1) * 1000.0,
+        pos=traces["pos"],
+        feet=traces["feet"],
     )
     return final, metrics, traces
 

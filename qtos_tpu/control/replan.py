@@ -8,13 +8,25 @@ rows in real time (forced-execution prefix ``f_steps`` = 2500).
 
 Here the trajectory lives in a device ring buffer; stitching is a
 ``lax.dynamic_update_slice``; the stitch row search is an argmax over the
-contact-mask buffer; planning is one jitted solve+sample call; execution is
-the jitted scan control loop.  The host loop only sequences windows.
+contact-mask buffer; planning solves ``n_candidates`` alternative windows in
+ONE batched lanes solve (the speculative multi-window batch of SURVEY.md
+§5.7(c) — the reference can only run one Docker solve at a time); execution
+is the jitted scan control loop.  The host loop only sequences windows, and
+dispatches the planning solve and the execution chunk back to back so neither
+waits on the other at the host level (the reference overlaps them with a
+thread — scripts/main.py:26-62; here both are async XLA dispatches).
+
+Failure policy (reference: initial-solve returncode abort scripts/main.py:
+93-103, horizon watchdog QTOS/combiner.py:223-225, stance as safe state
+QTOS/robot/robot.py:527-561): pick the first converged candidate; else the
+best candidate below ``usable_viol``; else re-solve warm-started with
+escalated iterations; else stitch a stance-hold segment (the robot marks
+time safely) and retry — aborting after ``max_consec_failures`` consecutive
+failed windows.
 """
 
 from __future__ import annotations
 
-import functools
 import time
 from dataclasses import dataclass, field
 
@@ -25,9 +37,11 @@ import numpy as np
 from qtos_tpu.control.loop import ControlParams, playback, decode_row, state_from_row, stance_warmup
 from qtos_tpu.models.solo12 import Solo12
 from qtos_tpu.planner.global_planner import GlobalPlanner
-from qtos_tpu.solver.gait import trot_schedule
+from qtos_tpu.runtime import RingBuffer
+from qtos_tpu.utils.containers import LimitedFIFOQueue, LimitedStack
+from qtos_tpu.solver.gait import GaitSchedule, make_schedule
 from qtos_tpu.solver.sampler import sample_trajectory
-from qtos_tpu.solver.solve import solve
+from qtos_tpu.solver.solve import STATUS_CONVERGED, _solve_pass, solve
 from qtos_tpu.solver.spec import ProblemSpec, RobotState, SolverConfig
 from qtos_tpu.terrain.heightfield import Terrain, height_at
 
@@ -43,9 +57,27 @@ class RunnerConfig:
     avg_speed: float = 0.22
     stance_warmup_steps: int = 500
     max_windows: int = 64
-    # Warm-starting windows from the shifted previous solution is available
-    # but off by default: the fresh schedule-aware guess aligns gait phases
-    # with the new window's head stance, which empirically tracks better.
+    gait: str = "trot"           # key into solver.gait.GAIT_REGISTRY
+    # Speculative candidate windows per replan, solved in ONE batched lanes
+    # call: stitch targets at lookahead + i*candidate_stride rows.  The first
+    # converged candidate wins (earliest stitch = least plan latency); later
+    # candidates are fallbacks for free (B=4 costs the same as B=1 on the
+    # lanes layout — see scripts/profile_lanes.py).
+    n_candidates: int = 4
+    candidate_stride: int = 250
+    # Safety rail on the CUMULATIVE drift-following shift [m]: replan-from-
+    # reality may move the plan frame at most this far from the path-anchored
+    # frame (prevents a pathologically slipping controller from being chased
+    # off the map; see _row_shift).  Loose by design — tightening it couples
+    # into the stitch dynamics and degrades well-tracking runs.
+    drift_cap_total: float = 0.6
+    # Failure policy thresholds (see module docstring).
+    usable_viol: float = 3e-2    # accept an unconverged window below this
+    escalate_iters: int = 40     # extra warm-started iterations before fallback
+    max_consec_failures: int = 3 # watchdog (reference: combiner.py:223-225)
+    # Warm-starting candidate windows from the shifted previous solution is
+    # available but off by default: the fresh schedule-aware guess aligns gait
+    # phases with the new window's head stance, which empirically tracks better.
     warm_start: bool = False
     # Optional dynamic-terrain hook: (window_idx, terrain) -> terrain, applied
     # before each replan (reference: exp_8 dynamic terrain / simulation.update).
@@ -56,7 +88,7 @@ class RunnerConfig:
     checkpoint_every: int = 0
     checkpoint_path: str = "./data/checkpoint.npz"
     solver: SolverConfig = field(
-        default_factory=lambda: SolverConfig(max_iters=70, tol=3e-3)
+        default_factory=lambda: SolverConfig(max_iters=30, tol=3e-3)
     )
     control: ControlParams = field(default_factory=ControlParams)
 
@@ -73,45 +105,110 @@ class RunReport:
     avg_com_err_per_s: float
     solve_wall_times: list
     statuses: list
+    com_err_series: np.ndarray = None   # (T,) per-tick CoM error (plots)
+    ee_err_series: np.ndarray = None    # (T,) per-tick mean foot error
+    sim_pos_series: np.ndarray = None   # (T, 3) realized CoM positions
+    sim_feet_series: np.ndarray = None  # (T, 4, 3) realized foot positions
+    ref_table: np.ndarray = None        # (T, 37) the executed plan rows
+    aborted: bool = False               # watchdog fired
+    stance_holds: int = 0               # fallback segments stitched
 
 
-def spec_from_row(row, goal_r, goal_yaw, terrain: Terrain, K: int, duration: float) -> ProblemSpec:
+def spec_from_row(row, goal_r, goal_yaw, terrain: Terrain, K: int, duration: float,
+                  schedule: GaitSchedule | None = None) -> ProblemSpec:
     """Build the next window's spec from a trajectory row — the analog of the
     reference solver restart ABI (-s/-s_ang/-s_vel/-e1..e4 flags, combiner.py:
     170-191)."""
     cmd = decode_row(row)
     start = RobotState(r=cmd["r"], eul=cmd["eul"], v=cmd["v"], omega=cmd["w"], feet=cmd["feet"])
     dt = duration / (K - 1)
+    if schedule is None:
+        schedule = make_schedule("trot", K, dt)
     return ProblemSpec(
         start=start,
         goal_r=goal_r,
         goal_yaw=goal_yaw,
         duration=jnp.asarray(duration),
-        schedule=trot_schedule(K, dt),
+        schedule=schedule,
         dt=dt,
     )
 
 
-def plan_windows_batch(rows, goals_r, goals_yaw, terrain: Terrain, cfg: RunnerConfig):
-    """Speculatively solve k future windows in ONE batched call (the
-    multi-segment lookahead of SURVEY.md §5.7(c); the reference can only run
-    one Docker solve at a time).
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scfg", "K", "duration", "gait")
+)
+def _plan_batch_core(rows, goals_r, goals_yaw, t0s, x0, drift3, terrain,
+                     scfg: SolverConfig, K: int, duration: float, gait: str):
+    """Jitted replan core: drift shift + spec construction + batched lanes
+    solve + 1 kHz sampling as ONE program, so a replan is a single async
+    device dispatch (per-call vmap retracing, varying-shape eager ops, and
+    their per-op round trips would otherwise dominate the latency budget on
+    a tunneled TPU)."""
+    k = rows.shape[0]
+    rows = rows.at[:, 1:4].add(drift3)
+    feet = rows[:, 7:19].reshape(k, 4, 3) + drift3[None, None, :]
+    rows = rows.at[:, 7:19].set(feet.reshape(k, 12))
+    dt = duration / (K - 1)
+    schedule = make_schedule(gait, K, dt)
+    specs = jax.vmap(
+        lambda row, g, y: spec_from_row(row, g, y, None, K, duration, schedule)
+    )(rows, goals_r, goals_yaw)
+    res = _solve_pass(specs, terrain, scfg, x0)
+    tables, contacts = jax.vmap(
+        lambda x, s, t0: sample_trajectory(x, s, hz=1000, t0=t0)
+    )(res.x, specs, t0s)
+    return res, tables, contacts
+
+
+def plan_windows_batch(rows, goals_r, goals_yaw, terrain: Terrain, cfg: RunnerConfig,
+                       t0s=None, x0=None, solver_cfg: SolverConfig | None = None,
+                       drift3=None):
+    """Solve k candidate windows in ONE batched lanes call (the multi-segment
+    speculative lookahead of SURVEY.md §5.7(c)).
+
+    This is the runner's planning primitive: `RecedingHorizonRunner` calls it
+    every replan with the stitch-target alternatives.
 
     Args:
       rows: (k, 37) candidate start rows.
       goals_r: (k, 3); goals_yaw: (k,).
-    Returns a batched SolveResult plus stacked (k, T, 37) tables/(k, T, 4) contacts.
+      t0s: (k,) path times stamped into each table's column 0 (default 0).
+      x0: optional (k, K, NV) warm starts.
+      solver_cfg: overrides cfg.solver (e.g. escalation iterations).
+    Returns (SolveResult, tables (k, T, 37), contacts (k, T, 4)) — all device
+    arrays; nothing here forces a host sync.
     """
-    import jax
+    scfg = solver_cfg if solver_cfg is not None else cfg.solver
+    if t0s is None:
+        t0s = jnp.zeros(rows.shape[0])
+    if drift3 is None:
+        drift3 = jnp.zeros(3)
+    return _plan_batch_core(
+        rows, goals_r, goals_yaw, t0s, x0, drift3, terrain,
+        scfg=scfg.replace(rescue_iters=0), K=cfg.K,
+        duration=cfg.window_duration, gait=cfg.gait,
+    )
 
-    from qtos_tpu.solver.solve import solve_batch
 
-    specs = jax.vmap(
-        lambda row, g, y: spec_from_row(row, g, y, terrain, cfg.K, cfg.window_duration)
-    )(rows, goals_r, goals_yaw)
-    res = solve_batch(specs, terrain, cfg.solver)
-    tables, contacts = jax.vmap(lambda x, s: sample_trajectory(x, s, hz=1000))(res.x, specs)
-    return res, tables, contacts
+def stance_table(row, n_rows: int, t0: float):
+    """A hold-position trajectory segment: the safe-state fallback (reference:
+    QTOS/robot/robot.py:527-561 default_stance_control).  All feet in stance,
+    gravity-balancing forces, zero velocities."""
+    cmd = decode_row(row)
+    fz = Solo12.mass * 9.81 / 4.0
+    forces = jnp.tile(jnp.array([0.0, 0.0, fz]), (4,))
+    base = jnp.concatenate(
+        [jnp.zeros(1), cmd["r"], cmd["eul"], cmd["feet"].reshape(12),
+         jnp.zeros(3), jnp.zeros(3), forces]
+    )
+    table = jnp.tile(base[None, :], (n_rows, 1))
+    times = t0 + jnp.arange(n_rows) / 1000.0
+    table = table.at[:, 0].set(times)
+    contact = jnp.ones((n_rows, 4))
+    return table, contact
 
 
 class RecedingHorizonRunner:
@@ -135,7 +232,22 @@ class RecedingHorizonRunner:
         self.seg_rows = int(round(c.window_duration * 1000)) + 1
         self.buffer = jnp.zeros((c.buffer_rows, 37), jnp.float32)
         self.contact_buf = jnp.zeros((c.buffer_rows, 4), jnp.float32)
+        # host-side mirror of the stitched trajectory: the native C++ ring
+        # buffer (qtos_tpu/runtime) — serves the stitch-row scan, drift
+        # lookups, and end-of-run readback without device round trips
+        self.host_buf = RingBuffer(c.buffer_rows)
+        # per-row cumulative xy shift applied when that row was planned,
+        # relative to the path-anchored frame.  Needed to compute the RESIDUAL
+        # drift shift for a new window: measuring raw (sim - row) against an
+        # older segment and applying it on top of a newer, already-shifted
+        # segment double-counts the correction and runs away.
+        self._row_shift = np.zeros((c.buffer_rows, 2), np.float32)
         self.buffer_end = 0
+        # rolling solve-latency window + bounded (start, goal) plan history
+        # (reference: QTOS/containers.py LimitedFIFOQueue windowed averages,
+        # Limited_Stack of plans in QTOS/planner.py:195-230)
+        self.solve_ms_window = LimitedFIFOQueue(8)
+        self.plan_history = LimitedStack(32)
         self._st: dict | None = None  # live run state (see state_dict)
 
         self._exec_jit = jax.jit(
@@ -147,28 +259,153 @@ class RecedingHorizonRunner:
             )
         )
 
-    # ------------------------------------------------------------------
-    def _plan_window(self, row, goal_r, goal_yaw, t0, terrain, cfg: RunnerConfig, x_warm=None):
-        """Solve one window from a trajectory row and sample it. Jitted parts
-        inside (solve/sample are already jit-compiled).  ``x_warm`` warm-starts
-        from the previous window's knots shifted toward the new start — the
-        reference's solver restart warm-starts implicitly via its spline
-        initialization from the CLI state."""
-        spec = spec_from_row(row, goal_r, goal_yaw, terrain, cfg.K, cfg.window_duration)
+    # -- planning ------------------------------------------------------
+    def _candidate_rows(self, target: int, lo: int = 0):
+        """Stitch-row candidates at/after target, one per candidate slot.
+        In steady state the target clamps near the buffer tail and candidates
+        can coincide — duplicates are harmless (the batched solve prices them
+        at zero; selection takes the first converged)."""
+        c = self.cfg
+        hi = self.buffer_end
+        ats = []
+        for i in range(c.n_candidates):
+            t = max(0, lo, min(target + i * c.candidate_stride, hi - 10))
+            ats.append(self._find_stitch_row(t))
+        return ats
+
+    def _plan_dispatch(self, target: int, goal_r_final, x_warm=None,
+                       drift_xy=None, lo: int = 0) -> dict:
+        """Enqueue one replan: batched candidate solve + sampling, async.
+
+        Nothing here waits on the solve — the returned dict holds device
+        futures plus the host-side candidate metadata.  The run loop
+        dispatches this FIRST, then the execution chunk, so the device
+        pipeline is solve -> exec with no host stall in between (the
+        reference needs a replanning thread for the same overlap,
+        scripts/main.py:26-62)."""
+        c = self.cfg
+        ats = self._candidate_rows(target, lo=lo)
+        idx = jnp.asarray(ats)
+        rows = self.buffer[idx]                          # (k, 37)
+        # Replan from reality: the candidate start states get shifted (inside
+        # the jitted core) by the measured sim-vs-plan drift, so tracking
+        # error resets at every stitch instead of compounding across windows.
+        # The live-frame controller sees relative targets, so the stitch-row
+        # transition stays smooth.  (The reference feeds the live robot state
+        # from its global-state bus into the next solve the same way —
+        # QTOS/combiner.py:245-296 reading ROBOT_CFG.runtime.)
+        d = np.zeros(2, np.float32)
+        if drift_xy is not None:
+            # drift_xy = (sim - row(exec_now), S_exec): the measured tracking
+            # error plus the shift already baked into the row it was measured
+            # against; subtract the candidate region's own baked-in shift to
+            # get the residual to apply (see _row_shift above)
+            d_meas, s_exec = drift_xy
+            s_at = self._row_shift[ats[0]]
+            want = np.asarray(d_meas, np.float32) + np.asarray(s_exec, np.float32) - s_at
+            cap = self.cfg.drift_cap_total
+            s_new = np.clip(s_at + want, -cap, cap)   # total shift stays anchored
+            d = np.clip(s_new - s_at, -0.3, 0.3)
+        drift3 = jnp.asarray(np.array([d[0], d[1], 0.0], np.float32))
+        t_paths = np.asarray(rows[:, 0])                 # host (cheap, stitched data)
+
+        row_xy = np.asarray(rows[:, 1:3]) + d[None, :]
+        goals, gyaws, finals = [], [], []
+        for tp, xy in zip(t_paths, row_xy):
+            # progress-projected spine time: immune to path-time running
+            # ahead of actual progress during stance holds / drift
+            t_spine = self.planner.time_at_position(xy)
+            gv, gy = self.planner.spine_step(t_spine, c.window_duration)
+            if np.linalg.norm(gv[:2] - goal_r_final[:2]) < c.goal_tol:
+                gv = goal_r_final
+                finals.append(True)
+            else:
+                finals.append(False)
+            goals.append(gv)
+            gyaws.append(gy)
+        goals = jnp.asarray(np.stack(goals).astype(np.float32))
+        gyaws = jnp.asarray(np.asarray(gyaws, np.float32))
+
         x0 = None
         if x_warm is not None:
-            x0 = self._shift_warm_start(x_warm, spec)
-        res = solve(spec, terrain, cfg.solver, x0=x0)
-        table, contact = sample_trajectory(res.x, spec, hz=1000, t0=t0)
-        return res, table, contact
+            sched = make_schedule(c.gait, c.K, c.window_duration / (c.K - 1))
+            x0 = jax.vmap(
+                lambda row: self._shift_warm_start(
+                    x_warm,
+                    spec_from_row(row, goals[0], gyaws[0], self.terrain, c.K,
+                                  c.window_duration, sched),
+                )
+            )(rows)
+        res, tables, contacts = plan_windows_batch(
+            rows, goals, gyaws, self.terrain, c, t0s=jnp.asarray(t_paths),
+            x0=x0, drift3=drift3,
+        )
+        seg_shift = self._row_shift[ats[0]] + d
+        return dict(ats=ats, rows=rows, t_paths=t_paths, goals=goals,
+                    gyaws=gyaws, finals=finals, res=res, tables=tables,
+                    contacts=contacts, drift3=drift3, seg_shift=seg_shift)
+
+    def _plan_finish(self, p: dict):
+        """Select a candidate from a dispatched plan; escalate / fall back to
+        stance-hold on failure.
+
+        Returns (at, table, contact, status, viol, x_sel, is_final, failed)
+        where `failed` means no candidate (even escalated) was usable.
+        `table` is a stance-hold segment when failed."""
+        c = self.cfg
+        ats, res = p["ats"], p["res"]
+        tables, contacts = p["tables"], p["contacts"]
+
+        status = np.asarray(res.status)        # host sync: waits on the solve
+        viol = np.asarray(res.max_violation)   # (exec may still be running)
+        sel = self._select(status, viol)
+        if sel is None:
+            # escalation: warm-started extra iterations on all candidates
+            cfg2 = c.solver.replace(max_iters=c.escalate_iters, rescue_iters=0)
+            res, tables, contacts = plan_windows_batch(
+                p["rows"], p["goals"], p["gyaws"], self.terrain, c,
+                t0s=jnp.asarray(p["t_paths"]), x0=res.x, solver_cfg=cfg2,
+                drift3=p["drift3"],
+            )
+            status = np.asarray(res.status)
+            viol = np.asarray(res.max_violation)
+            sel = self._select(status, viol)
+
+        if sel is None:
+            # stance-hold fallback at the earliest stitch row (drift applied,
+            # so the hold happens where the robot actually is)
+            at = ats[0]
+            row0 = np.asarray(p["rows"][0]).copy()
+            d3 = np.asarray(p["drift3"])
+            row0[1:4] += d3
+            row0[7:19] += np.tile(d3, 4)
+            table, contact = stance_table(jnp.asarray(row0), self.seg_rows,
+                                          float(p["t_paths"][0]))
+            return at, table, contact, int(status.min()), float(viol.min()), None, False, True
+
+        return (ats[sel], tables[sel], contacts[sel], int(status[sel]),
+                float(viol[sel]), res.x[sel], p["finals"][sel], False)
+
+    def _plan(self, target: int, goal_r_final, x_warm=None):
+        """Dispatch + finish in one call (initial solve, tests)."""
+        return self._plan_finish(self._plan_dispatch(target, goal_r_final, x_warm))
+
+
+    def _select(self, status: np.ndarray, viol: np.ndarray):
+        """First converged candidate, else best usable one, else None."""
+        ok = np.flatnonzero(status == STATUS_CONVERGED)
+        if ok.size:
+            return int(ok[0])
+        best = int(np.argmin(viol))
+        if viol[best] < self.cfg.usable_viol:
+            return best
+        return None
 
     @staticmethod
     def _shift_warm_start(x_prev, spec):
         """Translate the previous solution so its start matches the new
         window's start state; blend toward the fresh initial guess for the
         tail the previous window didn't cover."""
-        import jax.numpy as jnp
-
         from qtos_tpu.solver.spec import unpack_state, pack_state
 
         s = unpack_state(x_prev)
@@ -178,21 +415,27 @@ class RecedingHorizonRunner:
         p = p.at[0].set(spec.start.feet)
         return pack_state(r, s["th"], s["v"], s["w"], p, s["f"])
 
-    def _stitch(self, at: int, table, contact):
+    def _stitch(self, at: int, table, contact, shift_xy=None):
+        n = table.shape[0]
+        if shift_xy is not None:
+            self._row_shift[at : at + n] = np.asarray(shift_xy, np.float32)
         self.buffer = jax.lax.dynamic_update_slice(self.buffer, table, (at, 0))
         self.contact_buf = jax.lax.dynamic_update_slice(self.contact_buf, contact, (at, 0))
-        self.buffer_end = at + self.seg_rows
+        # host mirror (native ring buffer): _find_stitch_row and the report
+        # readback run against this — eager device slices of varying shape
+        # would recompile every window
+        self.host_buf.stitch(at, np.asarray(table), np.asarray(contact))
+        self.buffer_end = at + n
 
     def _find_stitch_row(self, target: int) -> int:
         """First all-feet-in-contact row at/after target (reference:
         combiner.py:245-296 scans the CSV for a four-contact row)."""
         hi = self.buffer_end
         target = min(target, hi - 1)
-        window = np.asarray(self.contact_buf[target:hi].min(axis=1) > 0.5)
-        idx = np.argmax(window)
-        if not window.any():
+        r = self.host_buf.find_contact_row(target)
+        if r < 0 or r >= hi:
             return hi - 1
-        return target + int(idx)
+        return r
 
     # -- checkpoint / resume -------------------------------------------
     # The resume unit is (trajectory buffer, contact buffer, sim state,
@@ -215,9 +458,15 @@ class RecedingHorizonRunner:
             window=st["window"],
             planning_done=st["planning_done"],
             prev_x=np.asarray(st["prev_x"]),
+            row_shift=self._row_shift,
             com_errs=np.concatenate(st["com_errs"]) if st["com_errs"] else np.zeros(0),
+            ee_errs=np.concatenate(st["ee_errs"]) if st.get("ee_errs") else np.zeros(0),
+            sim_pos=np.concatenate(st["sim_pos"]) if st.get("sim_pos") else np.zeros((0, 3)),
+            sim_feet=np.concatenate(st["sim_feet"]) if st.get("sim_feet") else np.zeros((0, 4, 3)),
             solve_times=np.asarray(st["solve_times"]),
             statuses=np.asarray(st["statuses"]),
+            consec_failures=st.get("consec_failures", 0),
+            stance_holds=st.get("stance_holds", 0),
         )
         for i, leaf in enumerate(sim_leaves):
             d[f"sim_{i}"] = np.asarray(leaf)
@@ -226,6 +475,13 @@ class RecedingHorizonRunner:
     def load_state_dict(self, d: dict) -> None:
         self.buffer = jnp.asarray(d["buffer"])
         self.contact_buf = jnp.asarray(d["contact_buf"])
+        end = int(d["buffer_end"])
+        if "row_shift" in d:
+            self._row_shift = np.asarray(d["row_shift"], np.float32).copy()
+        self.host_buf = RingBuffer(self.cfg.buffer_rows)
+        if end > 0:
+            self.host_buf.stitch(0, np.asarray(d["buffer"][:end]),
+                                 np.asarray(d["contact_buf"][:end]))
         self.buffer_end = int(d["buffer_end"])
         _, treedef = jax.tree_util.tree_flatten(self._sim_template())
         n_sim = treedef.num_leaves
@@ -233,6 +489,9 @@ class RecedingHorizonRunner:
             treedef, [jnp.asarray(d[f"sim_{i}"]) for i in range(n_sim)]
         )
         com = np.asarray(d["com_errs"])
+        ee = np.asarray(d.get("ee_errs", np.zeros(0)))
+        sp = np.asarray(d.get("sim_pos", np.zeros((0, 3))))
+        sf = np.asarray(d.get("sim_feet", np.zeros((0, 4, 3))))
         self._st = dict(
             sim=sim,
             exec_idx=int(d["exec_idx"]),
@@ -240,8 +499,13 @@ class RecedingHorizonRunner:
             planning_done=bool(d["planning_done"]),
             prev_x=jnp.asarray(d["prev_x"]),
             com_errs=[com] if com.size else [],
+            ee_errs=[ee] if ee.size else [],
+            sim_pos=[sp] if sp.size else [],
+            sim_feet=[sf] if sf.size else [],
             solve_times=list(np.asarray(d["solve_times"]).tolist()),
             statuses=[int(s) for s in np.asarray(d["statuses"])],
+            consec_failures=int(d.get("consec_failures", 0)),
+            stance_holds=int(d.get("stance_holds", 0)),
         )
 
     def save_checkpoint(self, path: str | None = None) -> str:
@@ -275,10 +539,10 @@ class RecedingHorizonRunner:
             self.restore(resume_from)
         else:
             # Initial solve from the canonical standing start (reference:
-            # main.py default start_config + combiner.plan_init).
+            # main.py default start_config + combiner.plan_init).  A failed
+            # initial solve aborts, as in the reference (main.py:93-103).
             x0, y0, yaw0 = float(self.planner._xk[0]), float(self.planner._yk[0]), 0.0
             start_state = RobotState.standing((x0, y0), yaw=yaw0, terrain=self.terrain)
-            goal0, gyaw0 = self.planner.spine_step(0.0, c.window_duration)
             row0 = jnp.concatenate(
                 [
                     jnp.zeros(1),
@@ -290,28 +554,52 @@ class RecedingHorizonRunner:
                     jnp.zeros(12),
                 ]
             )
+            self.buffer = self.buffer.at[0].set(row0)
+            self.contact_buf = self.contact_buf.at[0].set(jnp.ones(4))
+            self.host_buf.stitch(0, np.asarray(row0)[None], np.ones((1, 4), np.float32))
+            self.buffer_end = 1
             t_w = time.time()
-            res, table, contact = self._plan_window(
-                row0, jnp.asarray(goal0), jnp.asarray(gyaw0), 0.0, self.terrain, c
+            at, table, contact, status, viol, x_sel, _, failed = self._plan(
+                0, goal_r_final
             )
-            jax.block_until_ready(table)
+            if failed:
+                raise RuntimeError(
+                    f"initial window solve failed (max_violation={viol:.3g}) — "
+                    "aborting like the reference's returncode check (main.py:93-103)"
+                )
             self._stitch(0, table, contact)
 
             sim = state_from_row(self.buffer[0], self.terrain, c.control)
             sim = stance_warmup(sim, self.terrain, c.control, c.stance_warmup_steps)
+            # compile warmup: trace+compile the exec program OUTSIDE the
+            # per-window timers (result discarded; production robots warm up
+            # before walking — the axon tunnel has no persistent compile cache)
+            warm = self._exec_jit(self.buffer, 0, sim, self.terrain)
+            jax.block_until_ready(warm[1].com_err)
             self._st = dict(
                 sim=sim,
                 exec_idx=0,
                 window=0,
                 planning_done=False,
-                prev_x=res.x,
+                prev_x=x_sel,
                 com_errs=[],
+                ee_errs=[],
+                sim_pos=[],
+                sim_feet=[],
                 solve_times=[time.time() - t_w],
-                statuses=[int(res.status)],
+                statuses=[status],
+                consec_failures=0,
+                stance_holds=0,
             )
 
         st = self._st
+        st.setdefault("ee_errs", [])
+        st.setdefault("sim_pos", [])
+        st.setdefault("sim_feet", [])
+        st.setdefault("consec_failures", 0)
+        st.setdefault("stance_holds", 0)
         reached = False
+        aborted = False
         while st["window"] < c.max_windows:
             window = st["window"]
             sim = st["sim"]
@@ -319,70 +607,105 @@ class RecedingHorizonRunner:
             planning_done = st["planning_done"]
             solve_times = st["solve_times"]
             statuses = st["statuses"]
-            com_errs = st["com_errs"]
             # dynamic terrain (exp_8): mutate the world between windows; the
             # jitted solver/sim take terrain as data, so no recompilation
             if c.terrain_update is not None:
                 self.terrain = c.terrain_update(window, self.terrain)
 
-            # plan the next segment from the lookahead stitch row (overlaps
-            # execution in the reference via a thread; sequenced here — the
-            # TPU solve is far faster than the 2.5 s real-time budget)
+            # Pipelined dispatch: enqueue this window's candidate solve, then
+            # the execution chunk, without waiting on either — the device runs
+            # solve -> exec back to back while the host does the selection
+            # bookkeeping.  The exec chunk reads only already-final buffer
+            # rows, so it is independent of the plan being solved.  (The
+            # reference needs a replanning thread for the same overlap,
+            # scripts/main.py:26-62.)
+            n_exec = min(c.f_steps, self.buffer_end - exec_idx)
+            if n_exec <= 0:
+                break
+            pd = None
+            t_w = time.time()
             if not planning_done:
                 target = exec_idx + c.lookahead
                 if target >= self.buffer_end - 10:
                     target = self.buffer_end - 10
-                at = self._find_stitch_row(target)
-                row = self.buffer[at]
-                t_path = float(row[0])
-                goal_vec, gyaw = self.planner.spine_step(t_path, c.window_duration)
-                goal_dist = np.linalg.norm(goal_vec[:2] - goal_r_final[:2])
-                if goal_dist < c.goal_tol:
-                    goal_vec = goal_r_final
-                    planning_done = True
-                    st["planning_done"] = True
-                t_w = time.time()
-                res, table, contact = self._plan_window(
-                    row, jnp.asarray(goal_vec), jnp.asarray(gyaw), t_path, self.terrain, c,
+                drift = None
+                if exec_idx > 0:
+                    # measured drift at the current execution point, paired
+                    # with the shift already baked into that row
+                    plan_row = self.host_buf.read(exec_idx - 1, 1)[0]
+                    drift = (np.asarray(sim.pos)[:2] - plan_row[1:3],
+                             self._row_shift[exec_idx - 1])
+                pd = self._plan_dispatch(
+                    target, goal_r_final,
                     x_warm=st["prev_x"] if c.warm_start else None,
-                )
-                jax.block_until_ready(table)
-                solve_times.append(time.time() - t_w)
-                statuses.append(int(res.status))
-                self._stitch(at, table, contact)
-                st["prev_x"] = res.x
+                    drift_xy=drift,
 
-            # execute a forced chunk
-            n_exec = min(c.f_steps, self.buffer_end - exec_idx)
-            if n_exec <= 0:
-                break
-            sim, metrics = self._exec_jit(self.buffer, exec_idx, sim, self.terrain)
-            com_errs.append(np.asarray(metrics.com_err[:n_exec]))
+                )
+            buf_pre = self.buffer
+            sim_next, metrics = self._exec_jit(buf_pre, exec_idx, sim, self.terrain)
+
+            if pd is not None:
+                at, table, contact, status, viol, x_sel, is_final, failed = \
+                    self._plan_finish(pd)
+                solve_times.append(time.time() - t_w)
+                self.solve_ms_window.enqueue(solve_times[-1] * 1e3)
+                self.plan_history.push(
+                    (np.asarray(pd["rows"][0, 1:3]), np.asarray(pd["goals"][0]))
+                )
+                statuses.append(status)
+                self._stitch(at, table, contact, shift_xy=pd["seg_shift"])
+                if failed:
+                    st["consec_failures"] += 1
+                    st["stance_holds"] += 1
+                    if verbose:
+                        print(
+                            f"[window {window}] PLAN FAILED (viol={viol:.3g}) — "
+                            f"stance hold {st['consec_failures']}/{c.max_consec_failures}"
+                        )
+                    if st["consec_failures"] >= c.max_consec_failures:
+                        aborted = True   # watchdog (reference combiner.py:223-225)
+                else:
+                    st["consec_failures"] = 0
+                    st["prev_x"] = x_sel
+                    if is_final:
+                        st["planning_done"] = True
+
+            # consume the executed chunk
+            st["com_errs"].append(np.asarray(metrics.com_err[:n_exec]))
+            st["ee_errs"].append(np.asarray(metrics.ee_err[:n_exec]))
+            st["sim_pos"].append(np.asarray(metrics.pos[:n_exec]))
+            st["sim_feet"].append(np.asarray(metrics.feet[:n_exec]))
             exec_idx += n_exec
-            st["sim"] = sim
+            st["sim"] = sim_next
             st["exec_idx"] = exec_idx
             st["window"] = window + 1
             if c.checkpoint_every and (window + 1) % c.checkpoint_every == 0:
                 self.save_checkpoint()
 
+            sim = sim_next
             pos = np.asarray(sim.pos)
             if verbose:
                 print(
                     f"[window {window}] exec->{exec_idx} pos=({pos[0]:.2f},{pos[1]:.2f},{pos[2]:.2f}) "
-                    f"solve={solve_times[-1]*1e3:.0f}ms status={statuses[-1]}"
+                    f"solve={solve_times[-1]*1e3:.0f}ms (avg {self.solve_ms_window.average():.0f}ms) "
+                    f"status={statuses[-1]}"
                 )
+            if aborted:
+                break
             if np.linalg.norm(pos[:2] - goal_r_final[:2]) < 1.5 * c.goal_tol:
                 reached = True
                 break
-            if planning_done and exec_idx >= self.buffer_end - 1:
+            if st["planning_done"] and exec_idx >= self.buffer_end - 1:
                 break
 
         sim = st["sim"]
         exec_idx = st["exec_idx"]
         solve_times = st["solve_times"]
         statuses = st["statuses"]
-        com_errs = st["com_errs"]
-        com = np.concatenate(com_errs) if com_errs else np.zeros(1)
+        com = np.concatenate(st["com_errs"]) if st["com_errs"] else np.zeros(1)
+        ee = np.concatenate(st["ee_errs"]) if st["ee_errs"] else np.zeros(1)
+        sim_pos = np.concatenate(st["sim_pos"]) if st["sim_pos"] else np.zeros((1, 3))
+        sim_feet = np.concatenate(st["sim_feet"]) if st["sim_feet"] else np.zeros((1, 4, 3))
         return RunReport(
             reached_goal=bool(
                 reached or np.linalg.norm(np.asarray(sim.pos)[:2] - goal_r_final[:2]) < 2 * c.goal_tol
@@ -396,4 +719,11 @@ class RecedingHorizonRunner:
             avg_com_err_per_s=float(com.sum() / max(len(com), 1) * 1000.0),
             solve_wall_times=solve_times,
             statuses=statuses,
+            com_err_series=com,
+            ee_err_series=ee,
+            sim_pos_series=sim_pos,
+            sim_feet_series=sim_feet,
+            ref_table=self.host_buf.read(0, exec_idx),
+            aborted=aborted,
+            stance_holds=st["stance_holds"],
         )

@@ -219,80 +219,13 @@ def _block_tridiag_solve_vmap(axis_size, in_batched, D, L, b):
     return jnp.moveaxis(xt, -1, 0), True
 
 
-def block_tridiag_solve_bcr(D: jax.Array, L: jax.Array, b: jax.Array) -> jax.Array:
-    """Block cyclic reduction solve of the same SPD system as
-    `block_tridiag_solve`, in ceil(log2 K) parallel elimination levels.
-
-    The Thomas scan serializes K tiny factorizations; BCR factors all odd
-    blocks of a level in ONE batched Cholesky call and couples even blocks
-    with batched matmuls — the time-axis parallel KKT factorization sketched
-    in SURVEY.md §5.7 (the stack's analog of sequence parallelism).  ~2x the
-    FLOPs of Thomas, ~7x fewer sequential steps at K=41.
-    """
-    K, n, _ = D.shape
-    Kp = 1
-    while Kp < K + 1:
-        Kp *= 2
-    # per-equation couplings: A[i] -> x_{i-1}, C[i] -> x_{i+1}
-    pad = Kp - K
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=D.dtype), (pad, n, n))
-    Dp = jnp.concatenate([D, eye], 0)
-    A = jnp.concatenate([jnp.zeros((1, n, n), D.dtype), L, jnp.zeros((pad, n, n), D.dtype)], 0)
-    C = jnp.concatenate(
-        [jnp.swapaxes(L, -1, -2), jnp.zeros((pad + 1, n, n), D.dtype)], 0
-    )
-    bp = jnp.concatenate([b, jnp.zeros((pad, n), D.dtype)], 0)
-
-    levels = []
-    while Dp.shape[0] > 1:
-        m = Dp.shape[0]
-        Do, Ao, Co, bo = Dp[1::2], A[1::2], C[1::2], bp[1::2]
-        De, Ae, Ce, be = Dp[0::2], A[0::2], C[0::2], bp[0::2]
-        cho = _chol(Do)
-        DinvA = _chol_solve(cho, Ao)
-        DinvC = _chol_solve(cho, Co)
-        Dinvb = _chol_solve_vec(cho, bo)
-        levels.append((Do, Ao, Co, bo, cho))
-
-        h = m // 2
-        # neighbor odd-block indices for even j=2t: left odd t-1, right odd t
-        zA = jnp.zeros((1, n, n), D.dtype)
-        zb = jnp.zeros((1, n), D.dtype)
-        DinvA_l = jnp.concatenate([zA, DinvA[: h - 1]], 0)   # odd t-1
-        DinvC_l = jnp.concatenate([zA, DinvC[: h - 1]], 0)
-        Dinvb_l = jnp.concatenate([zb, Dinvb[: h - 1]], 0)
-
-        D_new = De - Ae @ DinvC_l - Ce @ DinvA
-        A_new = -(Ae @ DinvA_l)
-        C_new = -(Ce @ DinvC)
-        b_new = (
-            be
-            - jnp.einsum("kij,kj->ki", Ae, Dinvb_l)
-            - jnp.einsum("kij,kj->ki", Ce, Dinvb)
-        )
-        Dp, A, C, bp = D_new, A_new, C_new, b_new
-
-    x = _chol_solve_vec(_chol(Dp[0]), bp[0])[None]
-
-    for Do, Ao, Co, bo, cho in reversed(levels):
-        h = Do.shape[0]
-        # x currently holds the even unknowns of this level (h+? = h or h+?)
-        x_even = x
-        xl = x_even[:h]                      # x_{i-1} for odd i=2t+1 -> even t
-        # right neighbor x_{i+1} for odd i=2t+1 is even index t+1 (0 past end)
-        xr = jnp.concatenate([x_even[1:], jnp.zeros((1, n), D.dtype)], 0)[:h]
-        rhs = (
-            bo
-            - jnp.einsum("kij,kj->ki", Ao, xl)
-            - jnp.einsum("kij,kj->ki", Co, xr)
-        )
-        x_odd = _chol_solve_vec(cho, rhs)
-        merged = jnp.zeros((x_even.shape[0] + h, n), D.dtype)
-        merged = merged.at[0::2].set(x_even)
-        merged = merged.at[1::2].set(x_odd)
-        x = merged
-
-    return x[:K]
+# A block-cyclic-reduction (time-parallel) factorization was implemented and
+# benchmarked here through round 3 as the SURVEY.md §5.7 "sequence parallel"
+# analog.  Measured on TPU v5e it never beat the Thomas scan at any
+# production shape — both are dispatch-bound at ~0.09 ms for K=41..401, n=36
+# (XLA pipelines the scan's tiny Cholesky blocks well) — so it was removed
+# rather than kept as unreached code.  Long horizons are scaled by
+# receding-horizon decomposition (qtos_tpu.control.replan) instead.
 
 
 def block_tridiag_matvec(D: jax.Array, L: jax.Array, x: jax.Array) -> jax.Array:

@@ -80,6 +80,18 @@ class GlobalPlanner:
         self._yk = jnp.asarray(yk, jnp.float32)
         self._mx = natural_cubic_coeffs(self._xk, self._h)
         self._my = natural_cubic_coeffs(self._yk, self._h)
+        # Dense host-side samples: spine_step/time_at_position run in the
+        # replan loop's latency path, so they must be pure numpy — each eager
+        # jnp op would pay a device round trip on a tunneled TPU.
+        ts = np.linspace(0.0, self.total_time, 1024)
+        dx, dy = [], []
+        for t in ts:
+            x, y, _ = self.point_at(t)
+            dx.append(float(x))
+            dy.append(float(y))
+        self._dense_ts = ts
+        self._dense_xy = np.stack([dx, dy], axis=1)
+        self._height_np = np.asarray(terrain.height)
 
     # -- grid <-> world ---------------------------------------------------
 
@@ -132,13 +144,55 @@ class GlobalPlanner:
         yaw = jnp.arctan2(dy, dx)
         return x, y, yaw
 
+    def _point_np(self, t: float):
+        """Host-numpy path point + yaw (dense-sample interpolation)."""
+        t = float(np.clip(t, 0.0, self.total_time))
+        x = float(np.interp(t, self._dense_ts, self._dense_xy[:, 0]))
+        y = float(np.interp(t, self._dense_ts, self._dense_xy[:, 1]))
+        dt = self._dense_ts[1] - self._dense_ts[0]
+        t2 = min(t + dt, self.total_time)
+        t1 = max(t2 - dt, 0.0)
+        dx = np.interp(t2, self._dense_ts, self._dense_xy[:, 0]) - np.interp(
+            t1, self._dense_ts, self._dense_xy[:, 0])
+        dy = np.interp(t2, self._dense_ts, self._dense_xy[:, 1]) - np.interp(
+            t1, self._dense_ts, self._dense_xy[:, 1])
+        return x, y, float(np.arctan2(dy, dx))
+
+    def _height_np_at(self, x: float, y: float) -> float:
+        """Host-numpy bilinear height query (mirror of heightfield.height_at)."""
+        h = self._height_np
+        H, W = h.shape
+        x0, y0 = self.terrain.origin
+        cx = np.clip((x - x0) / self.terrain.resolution - 0.5, 0.0, W - 1.001)
+        cy = np.clip((y - y0) / self.terrain.resolution - 0.5, 0.0, H - 1.001)
+        ix, iy = int(cx), int(cy)
+        fx, fy = cx - ix, cy - iy
+        return float(
+            h[iy, ix] * (1 - fx) * (1 - fy)
+            + h[iy, ix + 1] * fx * (1 - fy)
+            + h[iy + 1, ix] * (1 - fx) * fy
+            + h[iy + 1, ix + 1] * fx * fy
+        )
+
     def spine_step(self, t: float, horizon: float):
         """Goal for the window starting at path-time t (reference:
         QTOS/combiner.py:194-212 spine_step): the path point one horizon
-        ahead, with terrain-aware z."""
-        x, y, yaw = self.point_at(t + horizon)
-        z = height_at(self.terrain, x, y) + Solo12.stand_height
-        return np.array([float(x), float(y), float(z)]), float(yaw)
+        ahead, with terrain-aware z.  Pure host numpy — this sits in the
+        replan latency path."""
+        x, y, yaw = self._point_np(t + horizon)
+        z = self._height_np_at(x, y) + Solo12.stand_height
+        return np.array([x, y, z]), yaw
+
+    def time_at_position(self, xy) -> float:
+        """Path time of the point nearest to xy — progress projection.
+
+        The raw trajectory time diverges from actual progress whenever the
+        robot holds stance (failure fallback) or drifts; window goals must be
+        seeded from where the robot IS on the path, as the reference's
+        Global_Planner.update does from the live robot state
+        (QTOS/planner.py:195-230)."""
+        d = np.linalg.norm(self._dense_xy - np.asarray(xy, np.float64)[None, :2], axis=1)
+        return float(self._dense_ts[int(np.argmin(d))])
 
     def save_plot(self, path: str) -> None:
         """Artifact parity with the reference's global_plan.png

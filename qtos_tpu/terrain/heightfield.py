@@ -132,27 +132,62 @@ def shift_terrain(terrain: Terrain, rows: int = 0, cols: int = 0, fill: float = 
     return terrain.replace(height=h)
 
 
-def export_heightfield_txt(terrain: Terrain, path: str, towr_frame: bool = False) -> None:
-    """Write the height grid as whitespace txt, the reference's on-disk
-    heightfield interchange format.
+def add_box_obstacle(terrain: Terrain, x: float, y: float, half: float = 0.1,
+                     height: float = 0.34) -> Terrain:
+    """Raise a box-shaped obstacle into the heightfield at world (x, y) —
+    the dynamic-terrain event of the reference's exp_8, which spawns a
+    0.2 m box at (1.0 + idx, 0, 0.24) mid-run (QTOS/simulation.py:102-115
+    `update`: GEOM_BOX halfExtents 0.1 at z 0.24 -> top face 0.34 m).
+    Shape/dtype preserved, so downstream jits don't recompile."""
+    h = terrain.height
+    H, W = h.shape
+    x0, y0 = terrain.origin
+    res = terrain.resolution
+    c0 = int(np.clip(np.floor((x - half - x0) / res), 0, W - 1))
+    c1 = int(np.clip(np.ceil((x + half - x0) / res), 1, W))
+    r0 = int(np.clip(np.floor((y - half - y0) / res), 0, H - 1))
+    r1 = int(np.clip(np.ceil((y + half - y0) / res), 1, H))
+    region = h[r0:r1, c0:c1]
+    h = h.at[r0:r1, c0:c1].set(jnp.maximum(region, height))
+    return terrain.replace(height=h)
 
-    The reference exports TWO txt variants (QTOS/generateHeightField.py:
-    562-571 create_height_file x2): the PyBullet row-major grid, and a
-    "TOWR-frame" export that is transposed with the first column dropped so
-    the solver indexes (x, y) instead of (row, col).  ``towr_frame=True``
-    reproduces that adjusted layout for tooling that consumed the old files.
+
+def export_heightfield_txt(terrain: Terrain, path: str, towr_frame: bool = False) -> None:
+    """Write the height grid in the reference's on-disk heightfield
+    interchange format: comma-delimited with a trailing comma per row
+    (QTOS/generateHeightField.py create_height_file).
+
+    The reference exports TWO variants (QTOS/generateHeightField.py:562-571):
+    the PyBullet row-major grid, and a "TOWR-frame" export that transposes the
+    grid then shifts the rows down by one — a zero first row, the last
+    transposed row dropped, shape preserved (:568, :616).  ``towr_frame=True``
+    reproduces that exact layout for tooling that consumed the old files.
     """
     grid = np.asarray(terrain.height)
     if towr_frame:
-        grid = grid.T[:, 1:] if grid.shape[0] > 1 else grid.T
-    np.savetxt(path, grid, fmt="%.6f")
+        g = grid.T
+        out = np.zeros_like(g)
+        out[1:] = g[:-1]
+        grid = out
+    with open(path, "w") as f:
+        lines = [", ".join(str(float(v)) for v in row) + "," for row in grid]
+        f.write("\n".join(lines))
 
 
 def import_heightfield_txt(path: str, resolution: float = 0.1,
                            origin: tuple = (-1.0, -1.0)) -> Terrain:
     """Load a reference-format heightfield txt into a Terrain
-    (counterpart of QTOS/generateHeightField.py:100 heighmap_2_np_reader)."""
-    grid = np.loadtxt(path, dtype=np.float32)
+    (counterpart of QTOS/generateHeightField.py:100 heighmap_2_np_reader).
+    Accepts both the reference's comma-delimited format (trailing comma per
+    line) and plain whitespace txt."""
+    from qtos_tpu.terrain.tiles import load_tile_txt
+
+    with open(path) as f:
+        head = f.read(4096)
+    if "," in head:
+        grid = load_tile_txt(path)
+    else:
+        grid = np.loadtxt(path, dtype=np.float32)
     return Terrain(height=jnp.asarray(np.atleast_2d(grid)), resolution=resolution,
                    origin=origin)
 

@@ -119,6 +119,45 @@ def _climb(dim=DIM, top=0.08):
     return t
 
 
+# Reference tile-name -> vendored data file (the reference's own name->file
+# contract, QTOS/generateHeightField.py:505-528 `map_files` + the Maps class
+# attributes :434-455).  The txt files under data/heightfields/ are the
+# reference's checked-in geometry, vendored verbatim so experiments run the
+# SAME terrain; `tile()` prefers them and falls back to the procedural
+# generators below when the data is absent.
+_DATA_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "..", "..", "data", "heightfields"
+)
+REFERENCE_TILE_FILES = {
+    "calibration": "calibration.txt",
+    "step": "step.txt",
+    "step_1": "step_1.txt",
+    "step_2": "step_2.txt",
+    "step_3": "step_3.txt",
+    "wall_1": "wall_1.txt",
+    "wall_2": "wall_2.txt",
+    "wall_3": "wall_3.txt",
+    "wall_4": "wall_4.txt",
+    # NOTE the reference's vocabulary: 'stairs' is the tall staircase file,
+    # 'stair'/'stair_1' are the gentle step files (generateHeightField.py:515,
+    # 523-524) — experiment_6/7 use 'stair'/'stair_1'.
+    "stairs": "staircase.txt",
+    "staircase": "staircase.txt",
+    "stair": "stairs.txt",
+    "stair_1": "stairs_1.txt",
+    "plane": "plane.txt",
+    "climb_1": "climb_1.txt",
+    "climb_2": "climb_2.txt",
+    "feasibility": "feasibility_test.txt",
+    "feasibility_1": "feasibility_test_1.txt",
+    "random_terrain": "random_terrain.txt",
+    "random_terrain_1": "random_terrain.txt",
+    "collision_hill": "collision_wall_hills.txt",
+    "collision_hills": "collision_wall_hills.txt",
+    "obstacle": "obstacle_1.txt",
+    "bridge": "bridge.txt",
+}
+
 TILE_GENERATORS = {
     "plane": lambda: _flat(),
     "step": lambda: _step(height=0.13, start=10, width=4),
@@ -154,11 +193,23 @@ TILE_GENERATORS["stair_1"] = TILE_GENERATORS["stairs_1"]
 
 
 def tile(name: str) -> np.ndarray:
-    """Return a named (dim, dim) tile."""
+    """Return a named (dim, dim) tile.
+
+    Prefers the reference's vendored geometry (data/heightfields/*.txt — the
+    exact terrain the reference experiments ran on); falls back to the
+    procedural generator of the same name."""
+    import os
+
+    fname = REFERENCE_TILE_FILES.get(name)
+    if fname is not None:
+        path = os.path.join(_DATA_DIR, fname)
+        if os.path.exists(path):
+            return load_tile_txt(path)
     try:
         return TILE_GENERATORS[name]().copy()
     except KeyError as e:
-        raise KeyError(f"unknown tile {name!r}; known: {sorted(TILE_GENERATORS)}") from e
+        known = sorted(set(TILE_GENERATORS) | set(REFERENCE_TILE_FILES))
+        raise KeyError(f"unknown tile {name!r}; known: {known}") from e
 
 
 def load_tile_txt(path: str) -> np.ndarray:

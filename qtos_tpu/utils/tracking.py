@@ -110,3 +110,25 @@ class Tracking:
             bbox_inches="tight",
         )
         plt.close(fig)
+
+        # per-foot ref-vs-sim 12-panel figure (reference: tracking.py:202-286)
+        if self.ref_feet and self.sim_feet:
+            rf = np.asarray(self.ref_feet)        # (T, 4, 3)
+            sf = np.asarray(self.sim_feet)
+            legs = ("FL", "FR", "HL", "HR")
+            fig, axes = plt.subplots(4, 3, figsize=(11, 9), sharex=True)
+            for leg in range(4):
+                for ax_i, lab in enumerate("xyz"):
+                    a = axes[leg][ax_i]
+                    a.plot(t, rf[:, leg, ax_i], lw=0.8, label="plan")
+                    a.plot(t, sf[:, leg, ax_i], lw=0.8, label="sim")
+                    if leg == 0 and ax_i == 0:
+                        a.legend(fontsize=7)
+                    if ax_i == 0:
+                        a.set_ylabel(legs[leg])
+                    if leg == 0:
+                        a.set_title(lab)
+            axes[-1][1].set_xlabel("t [s]")
+            fig.savefig(os.path.join(self.out_dir, "ref_sim_feet.png"),
+                        dpi=110, bbox_inches="tight")
+            plt.close(fig)

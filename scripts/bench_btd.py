@@ -1,5 +1,12 @@
 #!/usr/bin/env python3
-"""Microbench: BTD kernel v1 vs v2 at bench shapes. Dev tool, not a test."""
+"""Microbench: the Pallas batch-on-lanes BTD kernel at bench shapes.
+
+Dev tool, not a test.  A v2 kernel variant (fused substitution, wider lane
+tiles) lived here through round 3; measured at the production shape
+(B=1024, K=41, n=36) it was 1.5x SLOWER than v1 (0.067 vs 0.046 ms) and
+failed to compile at 512 lanes, so it was deleted and v1 remains the one
+production kernel (dispatched from qtos_tpu.solver.solve._lanes_linsolve).
+"""
 
 from __future__ import annotations
 
@@ -11,10 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from qtos_tpu.ops.pallas.btd import btd_solve_pallas_lanes
-from qtos_tpu.ops.pallas.btd_v2 import btd_solve_pallas_lanes_v2
+from qtos_tpu.ops.tridiag import _block_tridiag_solve_lanes, block_tridiag_matvec
 
 
 def timeit(name, fn, *args, n=10):
@@ -40,23 +46,19 @@ def make_system(B, K, n, key):
 
 def main():
     B, K, n = 1024, 41, 36
-    D, L, b = jax.jit(make_system, static_argnums=(0, 1, 2))(B, K, n, jax.random.PRNGKey(0))
+    D, L, b = jax.jit(make_system, static_argnums=(0, 1, 2))(
+        B, K, n, jax.random.PRNGKey(0)
+    )
     jax.block_until_ready(D)
 
-    x1 = timeit("v1 (128 lanes)", btd_solve_pallas_lanes, D, L, b)
-    for lanes in (128, 256, 512):
-        try:
-            x2 = timeit(f"v2 ({lanes} lanes)", lambda d, l, bb, la=lanes: btd_solve_pallas_lanes_v2(d, l, bb, lanes=la), D, L, b)
-            err = float(jnp.max(jnp.abs(x1 - x2)))
-            print(f"   max |v1 - v2| = {err:.3e}")
-        except Exception as e:  # noqa: BLE001
-            print(f"v2 ({lanes} lanes) failed: {type(e).__name__}: {str(e)[:200]}")
+    x1 = timeit("pallas lanes kernel", btd_solve_pallas_lanes, D, L, b)
+    xr = timeit("XLA lanes reference", jax.jit(_block_tridiag_solve_lanes), D, L, b)
+    print(f"   max |pallas - xla| = {float(jnp.max(jnp.abs(x1 - xr))):.3e}")
 
-    # correctness vs XLA reference
-    from qtos_tpu.ops.tridiag import _block_tridiag_solve_lanes
-
-    xr = jax.jit(_block_tridiag_solve_lanes)(D, L, b)
-    print("max |v1 - ref| =", float(jnp.max(jnp.abs(x1 - xr))))
+    # residual check against the operator
+    i = 7
+    r = block_tridiag_matvec(D[..., i], L[..., i], x1[..., i]) - b[..., i]
+    print(f"   residual (scenario {i}) = {float(jnp.max(jnp.abs(r))):.3e}")
 
 
 if __name__ == "__main__":

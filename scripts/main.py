@@ -37,6 +37,8 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", nargs="?", const="./logs/jax-trace", default=None,
                    metavar="DIR", help="capture a jax.profiler device trace of the run")
+    p.add_argument("--visual", action="store_true",
+                   help="render 3-D plan-preview artifacts (reference visual.py)")
     return p
 
 
@@ -48,6 +50,11 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
+    # persistent compile cache: repeat invocations skip the 30-60 s XLA
+    # compilation of the solver/control programs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import numpy as np
 
@@ -80,7 +87,21 @@ def main(argv=None):
               f"({int(blocked.sum())} blocked cells)")
         save_map_plot(blocked, os.path.join(args.out, "bool_map.png"))
 
-    cfg = RunnerConfig(avg_speed=exp.avg_speed)
+    cfg = RunnerConfig(avg_speed=exp.avg_speed, gait=exp.gait)
+    if exp.dynamic_terrain:
+        # exp_8: spawn a box obstacle mid-run (reference QTOS/simulation.py:
+        # 102-115 update -> GEOM_BOX at (1.0 + idx, 0, 0.24)); the solver and
+        # sim take terrain as data, so the world changes without recompiling
+        from qtos_tpu.terrain.heightfield import add_box_obstacle
+
+        def terrain_update(window, terr):
+            if window >= 2 and window % 2 == 0:
+                x = 1.0 + 0.5 * (window // 2 - 1)
+                print(f"[dynamic terrain] spawning obstacle at x={x:.1f}")
+                return add_box_obstacle(terr, x, 0.45)
+            return terr
+
+        cfg.terrain_update = terrain_update
     if args.oneshot:
         return run_oneshot(terrain, goal, cfg, args)
 
@@ -98,6 +119,17 @@ def main(argv=None):
     wall = time.time() - t0
 
     save_tracking_artifacts(report, args.out)
+    if args.visual and report.ref_table is not None and len(report.ref_table):
+        # offline analog of the reference's live scrolled plan preview
+        # (QTOS/visual.py Visual_Planner.step): snapshot the upcoming plan at
+        # several points along the run
+        from qtos_tpu.utils.visual import VisualPlanner
+
+        vp = VisualPlanner(report.ref_table, out_dir=os.path.join(args.out, "visual"))
+        T = len(report.ref_table)
+        for frac in (0.0, 0.5, 0.9):
+            vp.render(at_row=int(frac * (T - 1)), name=f"plan_{int(frac*100):02d}")
+        print(f"plan-preview artifacts in {os.path.join(args.out, 'visual')}")
     if args.record:
         print("note: use scripts/record.py for the hardware-replay CSV")
     summary = dict(
@@ -182,22 +214,19 @@ def run_smoke_test():
 
 
 def save_tracking_artifacts(report, out_dir):
-    """CoM error plot (artifact parity with data/tracking/ in the reference)."""
+    """Render the reference's four tracking plots with the run's real series
+    (reference: QTOS/tracking.py:202-401 — CoM track, per-foot ref-vs-sim
+    panels, error, error-vs-distance) into <out>/tracking/."""
     try:
-        import matplotlib
+        from qtos_tpu.utils.tracking import Tracking
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        fig, ax = plt.subplots(figsize=(8, 3))
-        ax.set_title(f"tracking: avg CoM err/s = {report.avg_com_err_per_s:.1f}")
-        ax.axhline(report.mean_com_err, color="r", ls="--", lw=1)
-        ax.set_xlabel("tick")
-        ax.set_ylabel("CoM err [m]")
-        fig.savefig(os.path.join(out_dir, "tracking", "CoM_track.png"), dpi=100)
-        import matplotlib.pyplot as plt2
-
-        plt2.close(fig)
+        tr = Tracking(os.path.join(out_dir, "tracking"))
+        T = len(report.sim_pos_series)
+        tr.extend(report.ref_table[:T], report.sim_pos_series,
+                  sim_feet=report.sim_feet_series)
+        tr.plot()
+        print(f"tracking artifacts in {tr.out_dir}: "
+              f"{tr.summary()}")
     except Exception as e:  # matplotlib optional
         print("plot skipped:", e)
 

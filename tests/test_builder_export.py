@@ -36,9 +36,14 @@ def test_heightfield_txt_roundtrip(tmp_path):
     t2 = import_heightfield_txt(p, resolution=t.resolution, origin=t.origin)
     np.testing.assert_allclose(np.asarray(t2.height), np.asarray(t.height), atol=1e-5)
 
-    # towr-frame variant: transposed, first column dropped
+    # towr-frame variant: transposed, rows shifted down by one with a zero
+    # first row, shape preserved (reference generateHeightField.py:568+616);
+    # exact-transform check lives in tests/test_terrain_parity.py
+    from qtos_tpu.terrain.tiles import load_tile_txt
+
     p2 = str(tmp_path / "hf_towr.txt")
     export_heightfield_txt(t, p2, towr_frame=True)
-    g = np.loadtxt(p2)
+    g = load_tile_txt(p2)
     H, W = np.asarray(t.height).shape
-    assert g.shape == (W, H - 1)
+    assert g.shape == (W, H)
+    assert (g[0] == 0).all()

@@ -15,13 +15,14 @@ from qtos_tpu.utils.visual import VisualPlanner
 
 
 def test_shift_terrain_scrolls_and_fills():
+    # reference step.txt: band at rows 13..19 (y in [0.3, 1.0]), all x
     terr = make_terrain(["step"])
-    h0 = float(height_at(terr, jnp.array(0.2), jnp.array(0.0)))
+    h0 = float(height_at(terr, jnp.array(0.2), jnp.array(0.65)))
     assert h0 == pytest.approx(0.13)
-    shifted = shift_terrain(terr, cols=3)
-    # step band moved +3 cells (0.3 m) in x
-    assert float(height_at(shifted, jnp.array(0.5), jnp.array(0.0))) == pytest.approx(0.13)
-    assert float(height_at(shifted, jnp.array(-0.95), jnp.array(0.0))) == 0.0
+    shifted = shift_terrain(terr, rows=-3)
+    # band moved -3 cells (-0.3 m) in y; vacated top rows filled with 0
+    assert float(height_at(shifted, jnp.array(0.2), jnp.array(0.35))) == pytest.approx(0.13)
+    assert float(height_at(shifted, jnp.array(0.2), jnp.array(0.95))) == 0.0
     assert shifted.height.shape == terr.height.shape
 
 

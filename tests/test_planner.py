@@ -86,7 +86,9 @@ def test_spine_step_clamps_to_goal():
 
 
 def test_save_plot(tmp_path):
-    terr = make_terrain(["plane", "stairs"])
+    # 'stair' is the gentle reference staircase; 'stairs' is the 1 m tall
+    # one (generateHeightField.py:515,523) which rightly blocks the planner
+    terr = make_terrain(["plane", "stair"])
     gp = GlobalPlanner(terr, (0.0, 0.0), (2.5, 0.0))
     p = str(tmp_path / "global_plan.png")
     gp.save_plot(p)

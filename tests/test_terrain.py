@@ -27,9 +27,10 @@ def test_step_height_and_extent():
     terr = make_terrain(["step"])
     x0, y0, x1, y1 = terr.extent
     assert (x0, y0, x1, y1) == (-1.0, -1.0, 1.0, 1.0)
-    # step tile raises columns 10..13 (x in [0, 0.4]) to 0.13
-    h_on = height_at(terr, jnp.array(0.2), jnp.array(0.0))
-    h_off = height_at(terr, jnp.array(-0.5), jnp.array(0.0))
+    # the reference's step.txt raises rows 13..19 (y in [0.3, 1.0]) to 0.13
+    # (vendored geometry — see tests/test_terrain_parity.py)
+    h_on = height_at(terr, jnp.array(0.2), jnp.array(0.65))
+    h_off = height_at(terr, jnp.array(0.2), jnp.array(-0.5))
     assert float(h_on) == np.float32(0.13)
     assert float(h_off) == 0.0
 
