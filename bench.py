@@ -50,10 +50,31 @@ def main():
     sizes = tuple(
         int(s) for s in os.environ.get("QTOS_BENCH_BATCHES", "1024,8192").split(",")
     )
+    # Peak used for the MFU estimate: TPU v5e MXU ~197 TFLOP/s bf16; the
+    # solver runs f32 at `highest` precision (~1/4 of bf16 throughput on the
+    # MXU), and most of its FLOPs are tiny-block (36-wide) ops that cannot
+    # tile the 128x128 MXU anyway — MFU here measures how far this
+    # latency-structured workload sits from the matmul roofline, to aim
+    # future perf work (assembly vs solve), not a target to saturate.
+    PEAK_F32 = 197e12 / 4
+
     for B in sizes:
         specs = build(B)
         res = solve_c(specs)
         _ = np.asarray(res.status)            # compile + warm (forced fetch)
+
+        flops = None
+        try:
+            from qtos_tpu.solver.solve import _solve_pass
+
+            pass1 = cfg.replace(rescue_iters=0)
+            comp = _solve_pass.lower(specs, terrain, pass1).compile()
+            ca = comp.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception as e:
+            print(f"# cost_analysis unavailable: {e}", flush=True)
+
         t0 = time.time()
         res = solve_c(specs)
         # NOTE: end timing on a host fetch of the statuses: consuming them is
@@ -63,7 +84,12 @@ def main():
         conv = int(np.sum(np.asarray(res.status) == 0))
         dt = time.time() - t0
         rate = B / dt
-        print(f"# B={B}: {dt:.3f}s -> {rate:.1f} solves/s ({conv}/{B} converged)", flush=True)
+        line = f"# B={B}: {dt:.3f}s -> {rate:.1f} solves/s ({conv}/{B} converged)"
+        if flops:
+            fps = flops / dt
+            line += (f" | {flops/1e9:.1f} GFLOP pass-1 -> {fps/1e12:.3f} TFLOP/s"
+                     f" (~{100*fps/PEAK_F32:.1f}% of f32 peak)")
+        print(line, flush=True)
         if rate > best:
             best = rate
 

@@ -82,3 +82,56 @@ def test_trace_annotate_smoke(tmp_path):
         with annotate("tiny"):
             x = jnp.ones((8, 8)) @ jnp.ones((8, 8))
             x.block_until_ready()
+
+
+def test_mixed_schedule_batch_single_solve():
+    """Heterogeneous gaits in ONE compiled batched solve: schedules are data
+    (dense (K,4) masks), so trot/walk/pace/bound scenarios stack into a
+    single solve_batch call — impossible in TOWR, whose gait is baked into
+    the NLP's variable-set structure (reference: logs/towr_log.out:101-108)."""
+    import jax
+
+    from qtos_tpu.solver.solve import solve_batch
+
+    terrain = make_terrain(["plane"])
+    K = 33
+    dt = 2.5 / (K - 1)
+    names = ["trot", "walk", "pace", "bound"]
+    scheds = [make_schedule(n, K, dt) for n in names]
+    contact = jnp.stack([s.contact for s in scheds])
+    prog = jnp.stack([s.swing_progress for s in scheds])
+
+    def mk(c, p, goal):
+        from qtos_tpu.solver.gait import GaitSchedule
+
+        return default_spec(
+            terrain, goal_xy=(goal, 0.0), K=K,
+            schedule=GaitSchedule(contact=c, swing_progress=p),
+        )
+
+    specs = jax.vmap(mk)(contact, prog, jnp.array([0.4, 0.3, 0.3, 0.3]))
+    res = solve_batch(specs, terrain, SolverConfig(max_iters=60, tol=4e-3))
+    status = np.asarray(res.status)
+    # all four gaits converge side by side in the same program
+    assert (status == 0).all(), (names, status, np.asarray(res.max_violation))
+
+
+def test_walk_gait_continuous_run_reaches_goal():
+    """End-to-end gait plumbing: ExperimentConfig-style gait selection drives
+    the runner (RunnerConfig.gait -> make_schedule -> every window), and a
+    lateral-sequence walk actually walks to its goal."""
+    from qtos_tpu.control.replan import RecedingHorizonRunner, RunnerConfig
+
+    terrain = make_terrain(["plane", "plane"])
+    cfg = RunnerConfig(
+        gait="walk",
+        avg_speed=0.15,                      # walk is slower than trot
+        max_windows=8,
+        solver=SolverConfig(max_iters=40, tol=4e-3),
+        stance_warmup_steps=300,
+        n_candidates=2,
+    )
+    runner = RecedingHorizonRunner(terrain, goal_xy=(1.0, 0.0), cfg=cfg)
+    rep = runner.run(verbose=False)
+    assert rep.reached_goal, (rep.final_pos, rep.statuses)
+    assert all(s == 0 for s in rep.statuses)
