@@ -70,6 +70,6 @@ def build(
 
         blocked = feasibility_map(terrain)
 
-    rcfg = runner_cfg or RunnerConfig(avg_speed=cfg.avg_speed)
+    rcfg = runner_cfg or RunnerConfig(avg_speed=cfg.avg_speed, gait=cfg.gait)
     runner = RecedingHorizonRunner(terrain, goal, cfg=rcfg, blocked=blocked)
     return Bundle(exp=cfg, terrain=terrain, robot=Solo12, runner=runner, blocked=blocked)

@@ -54,6 +54,17 @@ class ControlParams:
     # transitions, and feeding that step change straight into the joint
     # targets excites slip/oscillation; filtering it removes the chatter.
     corr_tau: float = 0.05
+    # Capture-point velocity feedback [s] on swing-foot touchdown: swing
+    # targets shift by vel_corr * low-passed (v_live - v_plan) in xy, landing
+    # "ahead of the fall" to arrest drift RATE (Raibert/capture-point
+    # heuristic, sqrt(h/g) ~ 0.156 s for a 0.24 m stand height).  The
+    # low-pass (vel_tau) keeps the gait's own cyclic sway out of the
+    # touchdown placement — only sustained drift feeds back.
+    # 0 for trot (its cyclic sway couples badly into touchdown placement even
+    # low-passed — measured err/s 29.7 -> 237 on exp_1); 0.15 for the slower
+    # gaits, where it is a clear win (walk canary err/s 8.4 -> 7.6).
+    vel_corr: float = 0.0
+    vel_tau: float = 0.3
 
 
 @struct.dataclass
@@ -70,6 +81,25 @@ class TrackingMetrics:
     avg_com_err_per_s: jax.Array  # () the reference's headline metric (x1000 scale)
     pos: jax.Array            # (T, 3) realized CoM positions
     feet: jax.Array           # (T, 4, 3) realized world foot positions
+
+
+def gait_control_params(gait: str) -> ControlParams:
+    """Per-gait controller tuning (reference analog: MotorModel.UPDATE_GAIT —
+    QTOS/robot/robot_motor.py:111 also swaps gain sets by gait).
+
+    Trot runs the light-damping set it was tuned with (exp_1 continuous:
+    err/s 29.7 vs the reference's ~60).  The slower lateral-sequence gaits
+    need heavier joint damping plus capture-point touchdown feedback: at the
+    trot settings the walk gait pumps a growing bounce across stitched
+    windows and falls (err/s 258); with this set it reaches its goal at
+    err/s ~8."""
+    if gait in ("walk", "pace", "bound", "stand"):
+        return ControlParams(
+            motor=MotorParams(kd=2.0),
+            sim=SimParams(joint_damping=0.5),
+            vel_corr=0.15,
+        )
+    return ControlParams()
 
 
 def decode_row(row: jax.Array):
@@ -96,7 +126,7 @@ def plan_joint_targets(row, params: ControlParams):
 
 
 def _tick(carry, row, terrain: Terrain, params: ControlParams):
-    state, q_des_prev, corr_filt = carry
+    state, q_des_prev, corr_filt, verr_filt = carry
     q_des_plan, cmd = plan_joint_targets(row, params)
     qd_des = (q_des_plan - q_des_prev) / params.sim.dt
 
@@ -114,8 +144,15 @@ def _tick(carry, row, terrain: Terrain, params: ControlParams):
         err_w = state.pos - cmd["r"]
         corr_w = jnp.clip(params.base_corr * err_w, -params.max_corr, params.max_corr)
         corr_b = corr_w @ R_plan                      # (3,)
+        # capture-point velocity term: land swing feet AHEAD of the drift
+        verr_w = (state.v - cmd["v"]) * jnp.array([1.0, 1.0, 0.0])
+        beta = params.sim.dt / jnp.maximum(params.vel_tau, params.sim.dt)
+        verr_filt = verr_filt + beta * (verr_w - verr_filt)
+        cp_b = jnp.clip(params.vel_corr * verr_filt, -params.max_corr,
+                        params.max_corr) @ R_plan
         stance = (cmd["f"][:, 2] > 1.0)[:, None]      # planned contact
-        delta = jnp.where(stance, corr_b[None, :], -corr_b[None, :] * jnp.array([1.0, 1.0, 0.0]))
+        swing_delta = (-corr_b + cp_b)[None, :] * jnp.array([1.0, 1.0, 0.0])
+        delta = jnp.where(stance, corr_b[None, :], swing_delta)
         alpha = params.sim.dt / jnp.maximum(params.corr_tau, params.sim.dt)
         corr_filt = corr_filt + alpha * (delta - corr_filt)
         feet_b = (cmd["feet"] - cmd["r"]) @ R_plan + corr_filt
@@ -147,7 +184,7 @@ def _tick(carry, row, terrain: Terrain, params: ControlParams):
     com_err = jnp.linalg.norm(new_state.pos - cmd["r"])
     feet_w = Solo12.fk_world(new_state.q, new_state.pos, new_state.eul)
     ee_err = jnp.mean(jnp.linalg.norm(feet_w - cmd["feet"], axis=-1))
-    return (new_state, q_des_plan, corr_filt), (com_err, ee_err, new_state.pos, feet_w)
+    return (new_state, q_des_plan, corr_filt, verr_filt), (com_err, ee_err, new_state.pos, feet_w)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -162,8 +199,8 @@ def playback(
     Returns (final_state, TrackingMetrics).
     """
     q_des0, _ = plan_joint_targets(table[0], params)
-    carry0 = (state0, q_des0, jnp.zeros((4, 3)))
-    (final, _, _), (com_err, ee_err, pos, feet) = jax.lax.scan(
+    carry0 = (state0, q_des0, jnp.zeros((4, 3)), jnp.zeros(3))
+    (final, _, _, _), (com_err, ee_err, pos, feet) = jax.lax.scan(
         lambda c, r: _tick(c, r, terrain, params), carry0, table
     )
     T = table.shape[0]

@@ -34,7 +34,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qtos_tpu.control.loop import ControlParams, playback, decode_row, state_from_row, stance_warmup
+from qtos_tpu.control.loop import (
+    ControlParams,
+    decode_row,
+    gait_control_params,
+    playback,
+    stance_warmup,
+    state_from_row,
+)
 from qtos_tpu.models.solo12 import Solo12
 from qtos_tpu.planner.global_planner import GlobalPlanner
 from qtos_tpu.runtime import RingBuffer
@@ -90,7 +97,9 @@ class RunnerConfig:
     solver: SolverConfig = field(
         default_factory=lambda: SolverConfig(max_iters=30, tol=3e-3)
     )
-    control: ControlParams = field(default_factory=ControlParams)
+    # None -> resolved per gait (control.loop.gait_control_params; the
+    # reference also swaps gain sets by gait, robot_motor.py:111 UPDATE_GAIT)
+    control: ControlParams = None
 
 
 @dataclass
@@ -224,6 +233,8 @@ class RecedingHorizonRunner:
     ):
         self.terrain = terrain
         self.cfg = cfg or RunnerConfig()
+        if self.cfg.control is None:
+            self.cfg.control = gait_control_params(self.cfg.gait)
         self.goal_xy = np.asarray(goal_xy, np.float32)
         self.planner = GlobalPlanner(
             terrain, start_xy, goal_xy, avg_speed=self.cfg.avg_speed, blocked=blocked

@@ -30,7 +30,7 @@ class SimParams:
     tangent_kp: float = 2500.0  # anchor-spring (stiction) stiffness
     tangent_kd: float = 40.0
     joint_inertia: float = 0.012
-    joint_damping: float = 0.3
+    joint_damping: float = 0.3   # trot-tuned; walk/pace use 0.5 (gait_control_params)
     # Whole-robot rotational inertia multiplier over the base-only SRB values
     # (the legs' masses at the hips dominate roll inertia: base-only Ixx
     # 0.0058 vs ~0.05 with legs — using base-only makes contact damping

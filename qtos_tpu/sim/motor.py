@@ -17,7 +17,10 @@ from flax import struct
 class MotorParams:
     # Defaults retuned for this engine's explicit joint model; the reference's
     # PyBullet-tuned values (kp 20, kd 0.08 — solo12.yml) are far underdamped
-    # here because Bullet adds implicit joint stabilization.
+    # here because Bullet adds implicit joint stabilization.  These are the
+    # TROT-tuned values; slower gaits use heavier damping via
+    # control.loop.gait_control_params (the reference likewise retunes gains
+    # per gait — MotorModel.UPDATE_GAIT, robot_motor.py:111).
     kp: float = 60.0
     kd: float = 1.2
     t_max: float = 8.0          # reference: solo12.yml t_max
