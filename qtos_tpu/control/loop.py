@@ -65,6 +65,26 @@ class ControlParams:
     # gaits, where it is a clear win (walk canary err/s 8.4 -> 7.6).
     vel_corr: float = 0.0
     vel_tau: float = 0.3
+    # Heading feedback: fraction of the (wrapped) live-vs-plan yaw error fed
+    # into the foot targets per tick — planted feet get their base-frame
+    # targets rotated by +yawc about z (levering the base heading back onto
+    # the plan), swing feet by -yawc (touching down at the absolute planned
+    # bearings).  Without this the yaw direction is UNOBSERVED by the
+    # controller: heading error integrates freely and the robot veers off
+    # laterally over long stitched runs (measured: yaw +61 deg after 4
+    # windows on flat ground).  Default 0: the primary heading loop is the
+    # REPLAN-level yaw reset (each window starts from the measured heading
+    # and the spine goal-yaw plans the turn-back — replan.py drift handling);
+    # tick-level yaw feedback measurably degrades short-window tracking
+    # (err/s 28.9 -> 45-80 at gains 0.5-1.0) because foot-placement yaw
+    # torques interfere with the gait, so it is kept only as an option.
+    yaw_corr: float = 0.0
+    # Cap on the applied yaw correction [rad].
+    max_yaw_corr: float = 0.2
+    # Low-pass time constant [s] on the yaw error: the trot's own cyclic yaw
+    # sway (~0.5 s period) must not feed back into foot placement — only
+    # sustained heading drift does (same reasoning as vel_tau).
+    yaw_tau: float = 0.4
 
 
 @struct.dataclass
@@ -81,6 +101,7 @@ class TrackingMetrics:
     avg_com_err_per_s: jax.Array  # () the reference's headline metric (x1000 scale)
     pos: jax.Array            # (T, 3) realized CoM positions
     feet: jax.Array           # (T, 4, 3) realized world foot positions
+    yaw: jax.Array            # (T,) realized base yaw (heading-drift estimation)
 
 
 def gait_control_params(gait: str) -> ControlParams:
@@ -99,7 +120,10 @@ def gait_control_params(gait: str) -> ControlParams:
             sim=SimParams(joint_damping=0.5),
             vel_corr=0.15,
         )
-    return ControlParams()
+    # trot: heading feedback at the gains that carried exp_9 to its 11.5 m
+    # goal (sweep: reset 0.3 + ctrl 0.3/tau 0.4 -> reached, err/s 76; ctrl
+    # 0.7 or tau 0.2 -> aborted runs)
+    return ControlParams(yaw_corr=0.3, yaw_tau=0.4)
 
 
 def decode_row(row: jax.Array):
@@ -126,7 +150,7 @@ def plan_joint_targets(row, params: ControlParams):
 
 
 def _tick(carry, row, terrain: Terrain, params: ControlParams):
-    state, q_des_prev, corr_filt, verr_filt = carry
+    state, q_des_prev, corr_filt, verr_filt, yerr_filt = carry
     q_des_plan, cmd = plan_joint_targets(row, params)
     qd_des = (q_des_plan - q_des_prev) / params.sim.dt
 
@@ -140,19 +164,47 @@ def _tick(carry, row, terrain: Terrain, params: ControlParams):
         # ones).  The cap keeps corrected targets inside the leg workspace
         # under any drift; the per-foot low-pass removes the sign-flip step
         # at contact transitions.
+        from qtos_tpu.ops.rotations import quat_to_rot
+
         R_plan = euler_to_rot(cmd["eul"])
+        # The correction is a WORLD-frame intent applied through base-frame
+        # IK targets, so it must be projected with the LIVE rotation: using
+        # R_plan misdirects it under heading error (at 90 deg yaw error an
+        # x-correction pushes y — a positive-feedback veer that blew up long
+        # stitched runs).
+        R_live = quat_to_rot(state.quat)
         err_w = state.pos - cmd["r"]
         corr_w = jnp.clip(params.base_corr * err_w, -params.max_corr, params.max_corr)
-        corr_b = corr_w @ R_plan                      # (3,)
+        corr_b = corr_w @ R_live                      # (3,)
         # capture-point velocity term: land swing feet AHEAD of the drift
         verr_w = (state.v - cmd["v"]) * jnp.array([1.0, 1.0, 0.0])
         beta = params.sim.dt / jnp.maximum(params.vel_tau, params.sim.dt)
         verr_filt = verr_filt + beta * (verr_w - verr_filt)
         cp_b = jnp.clip(params.vel_corr * verr_filt, -params.max_corr,
-                        params.max_corr) @ R_plan
+                        params.max_corr) @ R_live
         stance = (cmd["f"][:, 2] > 1.0)[:, None]      # planned contact
+        # heading feedback: rotate base-frame targets about z by +-yawc
+        yaw_diff = state.eul[2] - cmd["eul"][2]
+        yaw_err = jnp.arctan2(jnp.sin(yaw_diff), jnp.cos(yaw_diff))
+        gamma = params.sim.dt / jnp.maximum(params.yaw_tau, params.sim.dt)
+        yerr_filt = yerr_filt + gamma * (yaw_err - yerr_filt)
+        yawc = jnp.clip(params.yaw_corr * yerr_filt,
+                        -params.max_yaw_corr, params.max_yaw_corr)
+        feet_plan_b = (cmd["feet"] - cmd["r"]) @ R_plan
+
+        def _rotz_delta(p, a):
+            ca, sa = jnp.cos(a) - 1.0, jnp.sin(a)
+            return jnp.stack(
+                [ca * p[:, 0] - sa * p[:, 1],
+                 sa * p[:, 0] + ca * p[:, 1],
+                 jnp.zeros_like(p[:, 0])], axis=1)
+
         swing_delta = (-corr_b + cp_b)[None, :] * jnp.array([1.0, 1.0, 0.0])
-        delta = jnp.where(stance, corr_b[None, :], swing_delta)
+        delta = jnp.where(
+            stance,
+            corr_b[None, :] + _rotz_delta(feet_plan_b, yawc),
+            swing_delta + _rotz_delta(feet_plan_b, -yawc),
+        )
         alpha = params.sim.dt / jnp.maximum(params.corr_tau, params.sim.dt)
         corr_filt = corr_filt + alpha * (delta - corr_filt)
         feet_b = (cmd["feet"] - cmd["r"]) @ R_plan + corr_filt
@@ -184,7 +236,47 @@ def _tick(carry, row, terrain: Terrain, params: ControlParams):
     com_err = jnp.linalg.norm(new_state.pos - cmd["r"])
     feet_w = Solo12.fk_world(new_state.q, new_state.pos, new_state.eul)
     ee_err = jnp.mean(jnp.linalg.norm(feet_w - cmd["feet"], axis=-1))
-    return (new_state, q_des_plan, corr_filt, verr_filt), (com_err, ee_err, new_state.pos, feet_w)
+    out = dict(
+        com_err=com_err,
+        ee_err=ee_err,
+        pos=new_state.pos,
+        feet=feet_w,
+        q=new_state.q,
+        qd=new_state.qd,
+        tau=tau,
+        eul=new_state.eul,
+    )
+    return (new_state, q_des_plan, corr_filt, verr_filt, yerr_filt), out
+
+
+def _scan_ticks(table, state0, terrain, params, n_valid=None):
+    """Scan `_tick` over the table.  Ticks at index >= `n_valid` are no-ops
+    (state carried through unchanged): the receding-horizon runner's exec
+    chunk is a FIXED f_steps slice of the trajectory buffer, but in steady
+    state only buffer_end - exec_idx < f_steps rows are final — without the
+    mask the tail ticks would execute all-zero rows (CoM commanded to the
+    origin -> IK clamped to the workspace boundary -> a max-torque kick at
+    every stitch boundary, corrupting the carried sim state)."""
+    q_des0, _ = plan_joint_targets(table[0], params)
+    carry0 = (state0, q_des0, jnp.zeros((4, 3)), jnp.zeros(3), jnp.zeros(()))
+    if n_valid is None:
+        (final, *_), traces = jax.lax.scan(
+            lambda c, r: _tick(c, r, terrain, params), carry0, table
+        )
+        return final, traces
+
+    def step(c, xs):
+        t, row = xs
+        c_new, out = _tick(c, row, terrain, params)
+        active = t < n_valid
+        c_keep = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, b, a), c, c_new
+        )
+        return c_keep, out
+
+    ts = jnp.arange(table.shape[0])
+    (final, *_), traces = jax.lax.scan(step, carry0, (ts, table))
+    return final, traces
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -193,23 +285,24 @@ def playback(
     state0: SimState,
     terrain: Terrain,
     params: ControlParams = ControlParams(),
+    n_valid: jax.Array | None = None,
 ):
     """Run the control loop over a full (T, 37) table.
 
-    Returns (final_state, TrackingMetrics).
-    """
-    q_des0, _ = plan_joint_targets(table[0], params)
-    carry0 = (state0, q_des0, jnp.zeros((4, 3)), jnp.zeros(3))
-    (final, _, _, _), (com_err, ee_err, pos, feet) = jax.lax.scan(
-        lambda c, r: _tick(c, r, terrain, params), carry0, table
-    )
+    `n_valid` (dynamic scalar, default all rows) freezes the sim for ticks at
+    index >= n_valid — see `_scan_ticks`.  Returns (final_state,
+    TrackingMetrics)."""
+    final, tr = _scan_ticks(table, state0, terrain, params, n_valid)
+    com_err, ee_err = tr["com_err"], tr["ee_err"]
     T = table.shape[0]
-    cum = jnp.sum(com_err)
+    n = T if n_valid is None else n_valid
+    mask = jnp.arange(T) < n
+    cum = jnp.sum(jnp.where(mask, com_err, 0.0))
     # reference metric: cumulative error / elapsed seconds, x1000
-    avg_per_s = cum / jnp.maximum(T, 1) * 1000.0
+    avg_per_s = cum / jnp.maximum(n, 1) * 1000.0
     return final, TrackingMetrics(
         com_err=com_err, ee_err=ee_err, cum_com_err=cum, avg_com_err_per_s=avg_per_s,
-        pos=pos, feet=feet,
+        pos=tr["pos"], feet=tr["feet"], yaw=tr["eul"][:, 2],
     )
 
 
@@ -240,41 +333,15 @@ def playback_recorded(
     terrain: Terrain,
     params: ControlParams = ControlParams(),
 ):
-    """Like `playback` but also records the realized joint trajectory — the
+    """Like `playback` but also returns the realized joint traces — the
     hardware-replay capture of the reference's trajectory_record.py
     (csv_entry = 12 angles + 12 velocities + 12 torques, robot.py:118-125).
+    Runs the SAME `_tick` controller as `playback`, so the recorded CSV is
+    produced by exactly the controller whose tracking metrics are reported.
 
     Returns (final_state, TrackingMetrics, traces dict).
     """
-
-    def tick(carry, row):
-        state, q_des_prev = carry
-        q_des, cmd = plan_joint_targets(row, params)
-        qd_des = (q_des - q_des_prev) / params.sim.dt
-        tau_ff = None
-        if params.use_force_ff:
-            J = Solo12.jacobians(state.q)
-            R = euler_to_rot(state.eul)
-            tau_ff = -jnp.einsum("lji,lj->li", J, cmd["f"] @ R).reshape(12)
-        tau = pd_torque(params.motor, q_des, qd_des, state.q, state.qd, tau_ff)
-        new_state = sim_step(state, tau, terrain, params.sim)
-        com_err = jnp.linalg.norm(new_state.pos - cmd["r"])
-        feet_w = Solo12.fk_world(new_state.q, new_state.pos, new_state.eul)
-        ee_err = jnp.mean(jnp.linalg.norm(feet_w - cmd["feet"], axis=-1))
-        out = dict(
-            q=new_state.q,
-            qd=new_state.qd,
-            tau=tau,
-            pos=new_state.pos,
-            eul=new_state.eul,
-            feet=feet_w,
-            com_err=com_err,
-            ee_err=ee_err,
-        )
-        return (new_state, q_des), out
-
-    q_des0, _ = plan_joint_targets(table[0], params)
-    (final, _), traces = jax.lax.scan(tick, (state0, q_des0), table)
+    final, traces = _scan_ticks(table, state0, terrain, params)
     T = table.shape[0]
     cum = jnp.sum(traces["com_err"])
     metrics = TrackingMetrics(
@@ -284,6 +351,7 @@ def playback_recorded(
         avg_com_err_per_s=cum / jnp.maximum(T, 1) * 1000.0,
         pos=traces["pos"],
         feet=traces["feet"],
+        yaw=traces["eul"][:, 2],
     )
     return final, metrics, traces
 

@@ -82,6 +82,25 @@ class RunnerConfig:
     usable_viol: float = 3e-2    # accept an unconverged window below this
     escalate_iters: int = 40     # extra warm-started iterations before fallback
     max_consec_failures: int = 3 # watchdog (reference: combiner.py:223-225)
+    # Sim-health watchdog (tracking-side twin of the solver-side policy): the
+    # robot is "fallen" when its base sits below fallen_z above the terrain
+    # (stand height is 0.24) -> abort; a window whose MEAN CoM tracking error
+    # exceeds divergence_err while upright triggers a stance-hold at the
+    # measured state + replan-from-reality, aborting after
+    # max_consec_failures consecutive divergent windows.
+    fallen_z: float = 0.15
+    divergence_err: float = 0.12
+    # Gain on the replan-level heading reset: each window's start yaw is
+    # rotated by gain * (filtered live-vs-plan yaw residual), so the solver
+    # plans the turn-back from the robot's actual heading (0 = plan from the
+    # path heading and let the live-frame controller absorb the mismatch).
+    yaw_reset_gain: float = 0.3
+    # Goal backoff fraction per speculative candidate: candidate i aims
+    # (1 - i*backoff) of the window advance along the spine.  In steady state
+    # the stitch targets clamp to the buffer tail and coincide — the backoff
+    # keeps fallback candidates genuinely different (an easier, shorter-step
+    # NLP), so "first converged wins" is a real fallback tier.
+    candidate_goal_backoff: float = 0.12
     # Warm-starting candidate windows from the shifted previous solution is
     # available but off by default: the fresh schedule-aware guess aligns gait
     # phases with the new window's head stance, which empirically tracks better.
@@ -99,7 +118,7 @@ class RunnerConfig:
     )
     # None -> resolved per gait (control.loop.gait_control_params; the
     # reference also swaps gain sets by gait, robot_motor.py:111 UPDATE_GAIT)
-    control: ControlParams = None
+    control: ControlParams | None = None
 
 
 @dataclass
@@ -149,16 +168,35 @@ import functools
 @functools.partial(
     jax.jit, static_argnames=("scfg", "K", "duration", "gait")
 )
-def _plan_batch_core(rows, goals_r, goals_yaw, t0s, x0, drift3, terrain,
+def _plan_batch_core(rows, goals_r, goals_yaw, t0s, x0, drift3, dyaw, terrain,
                      scfg: SolverConfig, K: int, duration: float, gait: str):
     """Jitted replan core: drift shift + spec construction + batched lanes
     solve + 1 kHz sampling as ONE program, so a replan is a single async
     device dispatch (per-call vmap retracing, varying-shape eager ops, and
     their per-op round trips would otherwise dominate the latency budget on
-    a tunneled TPU)."""
+    a tunneled TPU).
+
+    `dyaw` is the measured live-vs-plan heading residual: the candidate start
+    states are rotated by it (yaw, feet about the CoM, velocity) so each
+    window is planned FROM the robot's actual heading while the spine
+    goal-yaw pulls it back — the heading twin of the xy drift shift.  Unlike
+    xy there is no double-count bookkeeping: plan rows carry absolute yaw, so
+    the next residual is measured directly against the already-turned plan."""
     k = rows.shape[0]
     rows = rows.at[:, 1:4].add(drift3)
+    rows = rows.at[:, 6].add(dyaw)
     feet = rows[:, 7:19].reshape(k, 4, 3) + drift3[None, None, :]
+    # rotate feet about the (shifted) CoM and the velocity by the yaw residual
+    ca, sa = jnp.cos(dyaw), jnp.sin(dyaw)
+    rel = feet[:, :, :2] - rows[:, None, 1:3]
+    rel_rot = jnp.stack(
+        [ca * rel[..., 0] - sa * rel[..., 1],
+         sa * rel[..., 0] + ca * rel[..., 1]], axis=-1)
+    feet = feet.at[:, :, :2].set(rows[:, None, 1:3] + rel_rot)
+    v = rows[:, 19:21]
+    v_rot = jnp.stack([ca * v[:, 0] - sa * v[:, 1],
+                       sa * v[:, 0] + ca * v[:, 1]], axis=-1)
+    rows = rows.at[:, 19:21].set(v_rot)
     rows = rows.at[:, 7:19].set(feet.reshape(k, 12))
     dt = duration / (K - 1)
     schedule = make_schedule(gait, K, dt)
@@ -174,7 +212,7 @@ def _plan_batch_core(rows, goals_r, goals_yaw, t0s, x0, drift3, terrain,
 
 def plan_windows_batch(rows, goals_r, goals_yaw, terrain: Terrain, cfg: RunnerConfig,
                        t0s=None, x0=None, solver_cfg: SolverConfig | None = None,
-                       drift3=None):
+                       drift3=None, dyaw=None):
     """Solve k candidate windows in ONE batched lanes call (the multi-segment
     speculative lookahead of SURVEY.md §5.7(c)).
 
@@ -195,8 +233,10 @@ def plan_windows_batch(rows, goals_r, goals_yaw, terrain: Terrain, cfg: RunnerCo
         t0s = jnp.zeros(rows.shape[0])
     if drift3 is None:
         drift3 = jnp.zeros(3)
+    if dyaw is None:
+        dyaw = jnp.zeros(())
     return _plan_batch_core(
-        rows, goals_r, goals_yaw, t0s, x0, drift3, terrain,
+        rows, goals_r, goals_yaw, t0s, x0, drift3, dyaw, terrain,
         scfg=scfg.replace(rescue_iters=0), K=cfg.K,
         duration=cfg.window_duration, gait=cfg.gait,
     )
@@ -233,8 +273,10 @@ class RecedingHorizonRunner:
     ):
         self.terrain = terrain
         self.cfg = cfg or RunnerConfig()
-        if self.cfg.control is None:
-            self.cfg.control = gait_control_params(self.cfg.gait)
+        # resolved locally — never written back into the caller's config (a
+        # RunnerConfig shared across runners with different gaits must not
+        # leak the first runner's resolved gains into the second)
+        self.control = self.cfg.control or gait_control_params(self.cfg.gait)
         self.goal_xy = np.asarray(goal_xy, np.float32)
         self.planner = GlobalPlanner(
             terrain, start_xy, goal_xy, avg_speed=self.cfg.avg_speed, blocked=blocked
@@ -261,12 +303,18 @@ class RecedingHorizonRunner:
         self.plan_history = LimitedStack(32)
         self._st: dict | None = None  # live run state (see state_dict)
 
+        # archived (already-executed) rows dropped from the live buffer by
+        # `_compact` — concatenated back for the end-of-run report
+        self._archive: list = []
+
+        control = self.control
         self._exec_jit = jax.jit(
-            lambda buf, start, s0, terr: playback(
+            lambda buf, start, n_valid, s0, terr: playback(
                 jax.lax.dynamic_slice(buf, (start, 0), (c.f_steps, 37)),
                 s0,
                 terr,
-                c.control,
+                control,
+                n_valid=n_valid,
             )
         )
 
@@ -306,27 +354,35 @@ class RecedingHorizonRunner:
         # from its global-state bus into the next solve the same way —
         # QTOS/combiner.py:245-296 reading ROBOT_CFG.runtime.)
         d = np.zeros(2, np.float32)
+        dyaw = 0.0
         if drift_xy is not None:
-            # drift_xy = (sim - row(exec_now), S_exec): the measured tracking
-            # error plus the shift already baked into the row it was measured
-            # against; subtract the candidate region's own baked-in shift to
-            # get the residual to apply (see _row_shift above)
-            d_meas, s_exec = drift_xy
+            # drift_xy = (sim - row(exec_now), S_exec, dyaw): the measured
+            # tracking error plus the shift already baked into the row it was
+            # measured against; subtract the candidate region's own baked-in
+            # shift to get the residual to apply (see _row_shift above).
+            # dyaw (heading residual) needs no such bookkeeping — plan rows
+            # carry absolute yaw (see _plan_batch_core).
+            d_meas, s_exec, dyaw_meas = drift_xy
             s_at = self._row_shift[ats[0]]
             want = np.asarray(d_meas, np.float32) + np.asarray(s_exec, np.float32) - s_at
             cap = self.cfg.drift_cap_total
             s_new = np.clip(s_at + want, -cap, cap)   # total shift stays anchored
             d = np.clip(s_new - s_at, -0.3, 0.3)
+            dyaw = float(np.clip(self.cfg.yaw_reset_gain * dyaw_meas, -0.6, 0.6))
         drift3 = jnp.asarray(np.array([d[0], d[1], 0.0], np.float32))
+        dyaw_j = jnp.asarray(dyaw, jnp.float32)
         t_paths = np.asarray(rows[:, 0])                 # host (cheap, stitched data)
 
         row_xy = np.asarray(rows[:, 1:3]) + d[None, :]
         goals, gyaws, finals = [], [], []
-        for tp, xy in zip(t_paths, row_xy):
+        for i, (tp, xy) in enumerate(zip(t_paths, row_xy)):
             # progress-projected spine time: immune to path-time running
             # ahead of actual progress during stance holds / drift
             t_spine = self.planner.time_at_position(xy)
-            gv, gy = self.planner.spine_step(t_spine, c.window_duration)
+            # goal backoff keeps clamped-target candidates distinct (an
+            # easier shorter-step NLP as the fallback tier — see RunnerConfig)
+            horizon = c.window_duration * (1.0 - c.candidate_goal_backoff * i)
+            gv, gy = self.planner.spine_step(t_spine, horizon)
             if np.linalg.norm(gv[:2] - goal_r_final[:2]) < c.goal_tol:
                 gv = goal_r_final
                 finals.append(True)
@@ -349,12 +405,13 @@ class RecedingHorizonRunner:
             )(rows)
         res, tables, contacts = plan_windows_batch(
             rows, goals, gyaws, self.terrain, c, t0s=jnp.asarray(t_paths),
-            x0=x0, drift3=drift3,
+            x0=x0, drift3=drift3, dyaw=dyaw_j,
         )
         seg_shift = self._row_shift[ats[0]] + d
         return dict(ats=ats, rows=rows, t_paths=t_paths, goals=goals,
                     gyaws=gyaws, finals=finals, res=res, tables=tables,
-                    contacts=contacts, drift3=drift3, seg_shift=seg_shift)
+                    contacts=contacts, drift3=drift3, dyaw=dyaw_j,
+                    seg_shift=seg_shift)
 
     def _plan_finish(self, p: dict):
         """Select a candidate from a dispatched plan; escalate / fall back to
@@ -376,7 +433,7 @@ class RecedingHorizonRunner:
             res, tables, contacts = plan_windows_batch(
                 p["rows"], p["goals"], p["gyaws"], self.terrain, c,
                 t0s=jnp.asarray(p["t_paths"]), x0=res.x, solver_cfg=cfg2,
-                drift3=p["drift3"],
+                drift3=p["drift3"], dyaw=p["dyaw"],
             )
             status = np.asarray(res.status)
             viol = np.asarray(res.max_violation)
@@ -390,6 +447,12 @@ class RecedingHorizonRunner:
             d3 = np.asarray(p["drift3"])
             row0[1:4] += d3
             row0[7:19] += np.tile(d3, 4)
+            dy = float(np.asarray(p["dyaw"]))
+            row0[6] += dy
+            ca, sa = np.cos(dy), np.sin(dy)
+            rel = row0[7:19].reshape(4, 3)[:, :2] - row0[1:3]
+            row0[7:19].reshape(4, 3)[:, :2] = row0[1:3] + rel @ np.array(
+                [[ca, sa], [-sa, ca]], np.float32)
             table, contact = stance_table(jnp.asarray(row0), self.seg_rows,
                                           float(p["t_paths"][0]))
             return at, table, contact, int(status.min()), float(viol.min()), None, False, True
@@ -448,6 +511,58 @@ class RecedingHorizonRunner:
             return hi - 1
         return r
 
+    def _maybe_compact(self):
+        """Drop already-executed rows when the buffer tail nears capacity.
+
+        Long runs (exp_9: 11.5 m ~ 52k rows plus any stance holds) exceed the
+        fixed buffer_rows; absolute row indices only ever grow, so we shift
+        everything left by the executed prefix (keeping one row for the drift
+        measurement) and archive the dropped rows for the report."""
+        c = self.cfg
+        st = self._st
+        if self.buffer_end + 2 * self.seg_rows < c.buffer_rows:
+            return
+        shift = st["exec_idx"] - 1
+        if shift <= 0:
+            return
+        n_rem = self.buffer_end - shift
+        self._archive.append(self.host_buf.read(0, shift))
+        self.buffer = jnp.roll(self.buffer, -shift, axis=0)
+        self.contact_buf = jnp.roll(self.contact_buf, -shift, axis=0)
+        rem_rows = self.host_buf.read(shift, n_rem)
+        rem_contact = np.asarray(self.contact_buf[:n_rem])
+        self.host_buf = RingBuffer(c.buffer_rows)
+        self.host_buf.stitch(0, rem_rows, rem_contact)
+        self._row_shift[:n_rem] = self._row_shift[shift : shift + n_rem].copy()
+        self._row_shift[n_rem:] = 0.0
+        self.buffer_end = n_rem
+        st["exec_idx"] = 1
+
+    def _reality_reset(self, sim):
+        """Stance-hold at the MEASURED sim state, stitched at the execution
+        cursor: the recovery step of the sim-health watchdog.  The next
+        window replans from this hold, so planning restarts from where the
+        robot actually is instead of chasing a diverged plan."""
+        st = self._st
+        exec_idx = st["exec_idx"]
+        pos = np.asarray(sim.pos)
+        eul = np.asarray(sim.eul)
+        feet = np.asarray(Solo12.fk_world(sim.q, sim.pos, sim.eul))
+        t_path = float(self.host_buf.read(max(exec_idx - 1, 0), 1)[0][0])
+        row = np.concatenate(
+            [[t_path], pos, eul, feet.reshape(12), np.zeros(3), np.zeros(3),
+             np.zeros(12)]
+        ).astype(np.float32)
+        table, contact = stance_table(jnp.asarray(row), self.seg_rows, t_path)
+        # the hold IS reality: record its total shift from the path-anchored
+        # frame so the next drift measurement starts from ~zero residual
+        plan_row = self.host_buf.read(max(exec_idx - 1, 0), 1)[0]
+        s_prev = self._row_shift[max(exec_idx - 1, 0)]
+        d = pos[:2] - plan_row[1:3]
+        cap = self.cfg.drift_cap_total
+        shift = np.clip(s_prev + d, -cap, cap)
+        self._stitch(exec_idx, table, contact, shift_xy=shift)
+
     # -- checkpoint / resume -------------------------------------------
     # The resume unit is (trajectory buffer, contact buffer, sim state,
     # execution cursor, solver warm start) — the TPU-native analog of the
@@ -455,7 +570,7 @@ class RecedingHorizonRunner:
     # 125-135, 170-191; SURVEY.md §5.4).
 
     def _sim_template(self):
-        return state_from_row(self.buffer[0], self.terrain, self.cfg.control)
+        return state_from_row(self.buffer[0], self.terrain, self.control)
 
     def state_dict(self) -> dict:
         """Full resume snapshot as host numpy arrays."""
@@ -477,7 +592,10 @@ class RecedingHorizonRunner:
             solve_times=np.asarray(st["solve_times"]),
             statuses=np.asarray(st["statuses"]),
             consec_failures=st.get("consec_failures", 0),
+            consec_diverged=st.get("consec_diverged", 0),
             stance_holds=st.get("stance_holds", 0),
+            archive=np.concatenate(self._archive)
+            if self._archive else np.zeros((0, 37), np.float32),
         )
         for i, leaf in enumerate(sim_leaves):
             d[f"sim_{i}"] = np.asarray(leaf)
@@ -516,8 +634,11 @@ class RecedingHorizonRunner:
             solve_times=list(np.asarray(d["solve_times"]).tolist()),
             statuses=[int(s) for s in np.asarray(d["statuses"])],
             consec_failures=int(d.get("consec_failures", 0)),
+            consec_diverged=int(d.get("consec_diverged", 0)),
             stance_holds=int(d.get("stance_holds", 0)),
         )
+        arch = np.asarray(d.get("archive", np.zeros((0, 37), np.float32)))
+        self._archive = [arch] if arch.size else []
 
     def save_checkpoint(self, path: str | None = None) -> str:
         import os
@@ -580,12 +701,12 @@ class RecedingHorizonRunner:
                 )
             self._stitch(0, table, contact)
 
-            sim = state_from_row(self.buffer[0], self.terrain, c.control)
-            sim = stance_warmup(sim, self.terrain, c.control, c.stance_warmup_steps)
+            sim = state_from_row(self.buffer[0], self.terrain, self.control)
+            sim = stance_warmup(sim, self.terrain, self.control, c.stance_warmup_steps)
             # compile warmup: trace+compile the exec program OUTSIDE the
             # per-window timers (result discarded; production robots warm up
             # before walking — the axon tunnel has no persistent compile cache)
-            warm = self._exec_jit(self.buffer, 0, sim, self.terrain)
+            warm = self._exec_jit(self.buffer, 0, jnp.asarray(1), sim, self.terrain)
             jax.block_until_ready(warm[1].com_err)
             self._st = dict(
                 sim=sim,
@@ -608,6 +729,7 @@ class RecedingHorizonRunner:
         st.setdefault("sim_pos", [])
         st.setdefault("sim_feet", [])
         st.setdefault("consec_failures", 0)
+        st.setdefault("consec_diverged", 0)
         st.setdefault("stance_holds", 0)
         reached = False
         aborted = False
@@ -622,6 +744,11 @@ class RecedingHorizonRunner:
             # jitted solver/sim take terrain as data, so no recompilation
             if c.terrain_update is not None:
                 self.terrain = c.terrain_update(window, self.terrain)
+            # long runs (exp_9: ~52k rows + stance holds) would overrun the
+            # fixed-capacity buffer — drop already-executed rows when the
+            # tail nears capacity (archived for the end-of-run report)
+            self._maybe_compact()
+            exec_idx = st["exec_idx"]
 
             # Pipelined dispatch: enqueue this window's candidate solve, then
             # the execution chunk, without waiting on either — the device runs
@@ -642,10 +769,22 @@ class RecedingHorizonRunner:
                 drift = None
                 if exec_idx > 0:
                     # measured drift at the current execution point, paired
-                    # with the shift already baked into that row
+                    # with the shift already baked into that row.  The yaw
+                    # residual is AVERAGED over the tail of the previous
+                    # window: the trot's cyclic sway puts +-10 deg on any
+                    # single-row sample, and feeding that noise into the next
+                    # window's start heading destabilizes the stitch.
                     plan_row = self.host_buf.read(exec_idx - 1, 1)[0]
+                    n_tail = min(800, exec_idx)
+                    plan_yaws = self.host_buf.read(exec_idx - n_tail, n_tail)[:, 6]
+                    sim_yaws = st["_yaw_tail"] if st.get("_yaw_tail") is not None \
+                        else np.full(n_tail, float(np.asarray(sim.eul)[2]))
+                    m = min(len(sim_yaws), n_tail)
+                    yd = sim_yaws[-m:] - plan_yaws[-m:]
+                    dyaw_f = float(np.arctan2(np.sin(yd).mean(), np.cos(yd).mean()))
                     drift = (np.asarray(sim.pos)[:2] - plan_row[1:3],
-                             self._row_shift[exec_idx - 1])
+                             self._row_shift[exec_idx - 1],
+                             dyaw_f)
                 pd = self._plan_dispatch(
                     target, goal_r_final,
                     x_warm=st["prev_x"] if c.warm_start else None,
@@ -653,7 +792,13 @@ class RecedingHorizonRunner:
 
                 )
             buf_pre = self.buffer
-            sim_next, metrics = self._exec_jit(buf_pre, exec_idx, sim, self.terrain)
+            # n_exec masks the tail of the fixed-size exec slice: rows past
+            # buffer_end are not final (zeros pre-stitch) and must never
+            # reach the sim (they commanded the CoM to the origin -> IK
+            # workspace clamp -> a max-torque kick at every stitch boundary)
+            sim_next, metrics = self._exec_jit(
+                buf_pre, exec_idx, jnp.asarray(n_exec), sim, self.terrain
+            )
 
             if pd is not None:
                 at, table, contact, status, viol, x_sel, is_final, failed = \
@@ -686,6 +831,7 @@ class RecedingHorizonRunner:
             st["ee_errs"].append(np.asarray(metrics.ee_err[:n_exec]))
             st["sim_pos"].append(np.asarray(metrics.pos[:n_exec]))
             st["sim_feet"].append(np.asarray(metrics.feet[:n_exec]))
+            st["_yaw_tail"] = np.asarray(metrics.yaw[:n_exec])[-800:]
             exec_idx += n_exec
             st["sim"] = sim_next
             st["exec_idx"] = exec_idx
@@ -701,6 +847,39 @@ class RecedingHorizonRunner:
                     f"solve={solve_times[-1]*1e3:.0f}ms (avg {self.solve_ms_window.average():.0f}ms) "
                     f"status={statuses[-1]}"
                 )
+            # Sim-health watchdog — the tracking-side twin of the solver-side
+            # failure policy.  The solver can report status 0 forever while
+            # the robot lies on the ground; the reference's goal-progress
+            # watchdog (QTOS/combiner.py:223-225) is the closest analog.
+            z_rel = pos[2] - float(height_at(self.terrain, float(pos[0]), float(pos[1])))
+            win_err = float(np.mean(st["com_errs"][-1]))
+            if z_rel < c.fallen_z:
+                aborted = True
+                if verbose:
+                    print(
+                        f"[window {window}] FALL DETECTED (z_rel={z_rel:.3f} < "
+                        f"{c.fallen_z}) — aborting"
+                    )
+            elif win_err > c.divergence_err:
+                # tracking diverged but the robot is upright: stance-hold at
+                # the MEASURED state and replan from reality
+                st["consec_diverged"] += 1
+                st["stance_holds"] += 1
+                if verbose:
+                    print(
+                        f"[window {window}] TRACKING DIVERGED (win_err="
+                        f"{win_err:.3f} > {c.divergence_err}) — reality reset "
+                        f"{st['consec_diverged']}/{c.max_consec_failures}"
+                    )
+                if st["consec_diverged"] >= c.max_consec_failures:
+                    aborted = True
+                else:
+                    self._reality_reset(sim)
+                    # the diverged plan (possibly the final one) was just
+                    # discarded — planning must resume from the hold
+                    st["planning_done"] = False
+            else:
+                st["consec_diverged"] = 0
             if aborted:
                 break
             if np.linalg.norm(pos[:2] - goal_r_final[:2]) < 1.5 * c.goal_tol:
@@ -711,6 +890,9 @@ class RecedingHorizonRunner:
 
         sim = st["sim"]
         exec_idx = st["exec_idx"]
+        # total executed ticks: compaction rebases exec_idx, the archive holds
+        # the dropped prefix
+        total_ticks = sum(len(a) for a in self._archive) + exec_idx
         solve_times = st["solve_times"]
         statuses = st["statuses"]
         com = np.concatenate(st["com_errs"]) if st["com_errs"] else np.zeros(1)
@@ -722,7 +904,7 @@ class RecedingHorizonRunner:
                 reached or np.linalg.norm(np.asarray(sim.pos)[:2] - goal_r_final[:2]) < 2 * c.goal_tol
             ),
             windows=len(statuses),
-            sim_ticks=exec_idx,
+            sim_ticks=total_ticks,
             final_pos=np.asarray(sim.pos),
             goal=goal_r_final,
             mean_com_err=float(com.mean()),
@@ -734,7 +916,9 @@ class RecedingHorizonRunner:
             ee_err_series=ee,
             sim_pos_series=sim_pos,
             sim_feet_series=sim_feet,
-            ref_table=self.host_buf.read(0, exec_idx),
+            ref_table=np.concatenate(
+                self._archive + [self.host_buf.read(0, exec_idx)]
+            ) if self._archive else self.host_buf.read(0, exec_idx),
             aborted=aborted,
             stance_holds=st["stance_holds"],
         )

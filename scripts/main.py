@@ -143,9 +143,15 @@ def main(argv=None):
         solve_ms_p50=float(np.median(report.solve_wall_times[1:]) * 1000)
         if len(report.solve_wall_times) > 1
         else float(report.solve_wall_times[0] * 1000),
+        stance_holds=report.stance_holds,
+        aborted=report.aborted,
         statuses=report.statuses,
         wall_time_s=wall,
     )
+    # per-experiment evidence file (plus the legacy latest-run file): a new
+    # run must never destroy the committed evidence for another experiment
+    with open(f"logs/experiment_data_{exp.name}.out", "w") as f:
+        json.dump(summary, f, indent=2)
     with open("logs/experiment_data.out", "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))

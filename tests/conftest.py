@@ -19,6 +19,27 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: the equivalence tests compile large vmapped
 # assembly programs (~1-2 min cold on CPU); warm reruns skip recompilation.
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+# The directory is keyed by a HOST FINGERPRINT (cpu flags + jaxlib version):
+# XLA:CPU cache entries are AOT executables, and loading one compiled on a
+# different machine in the fleet can SIGILL/SIGSEGV mid-suite (observed:
+# deterministic exit 139 at ~76% of the suite with a cross-host .jax_cache).
+import hashlib
+
+
+def _host_cache_dir():
+    try:
+        info = open("/proc/cpuinfo").read()
+        flags = next((l for l in info.splitlines() if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    import jaxlib
+
+    fp = hashlib.sha256(
+        (flags + jaxlib.__version__).encode()
+    ).hexdigest()[:12]
+    return os.path.join(os.path.dirname(__file__), "..", ".jax_cache", f"cpu-{fp}")
+
+
+jax.config.update("jax_compilation_cache_dir", _host_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
