@@ -758,7 +758,7 @@ class RecedingHorizonRunner:
             # reference needs a replanning thread for the same overlap,
             # scripts/main.py:26-62.)
             n_exec = min(c.f_steps, self.buffer_end - exec_idx)
-            if n_exec <= 0:
+            if n_exec <= 0 and planning_done:
                 break
             pd = None
             t_w = time.time()
@@ -795,10 +795,15 @@ class RecedingHorizonRunner:
             # n_exec masks the tail of the fixed-size exec slice: rows past
             # buffer_end are not final (zeros pre-stitch) and must never
             # reach the sim (they commanded the CoM to the origin -> IK
-            # workspace clamp -> a max-torque kick at every stitch boundary)
-            sim_next, metrics = self._exec_jit(
-                buf_pre, exec_idx, jnp.asarray(n_exec), sim, self.terrain
-            )
+            # workspace clamp -> a max-torque kick at every stitch boundary).
+            # n_exec can be 0 on a plan-only iteration (terminal refinement:
+            # buffer exhausted, goal not yet reached) — skip execution.
+            if n_exec > 0:
+                sim_next, metrics = self._exec_jit(
+                    buf_pre, exec_idx, jnp.asarray(n_exec), sim, self.terrain
+                )
+            else:
+                sim_next, metrics = sim, None
 
             if pd is not None:
                 at, table, contact, status, viol, x_sel, is_final, failed = \
@@ -827,12 +832,13 @@ class RecedingHorizonRunner:
                         st["planning_done"] = True
 
             # consume the executed chunk
-            st["com_errs"].append(np.asarray(metrics.com_err[:n_exec]))
-            st["ee_errs"].append(np.asarray(metrics.ee_err[:n_exec]))
-            st["sim_pos"].append(np.asarray(metrics.pos[:n_exec]))
-            st["sim_feet"].append(np.asarray(metrics.feet[:n_exec]))
-            st["_yaw_tail"] = np.asarray(metrics.yaw[:n_exec])[-800:]
-            exec_idx += n_exec
+            if metrics is not None:
+                st["com_errs"].append(np.asarray(metrics.com_err[:n_exec]))
+                st["ee_errs"].append(np.asarray(metrics.ee_err[:n_exec]))
+                st["sim_pos"].append(np.asarray(metrics.pos[:n_exec]))
+                st["sim_feet"].append(np.asarray(metrics.feet[:n_exec]))
+                st["_yaw_tail"] = np.asarray(metrics.yaw[:n_exec])[-800:]
+                exec_idx += n_exec
             st["sim"] = sim_next
             st["exec_idx"] = exec_idx
             st["window"] = window + 1
@@ -852,8 +858,10 @@ class RecedingHorizonRunner:
             # the robot lies on the ground; the reference's goal-progress
             # watchdog (QTOS/combiner.py:223-225) is the closest analog.
             z_rel = pos[2] - float(height_at(self.terrain, float(pos[0]), float(pos[1])))
-            win_err = float(np.mean(st["com_errs"][-1]))
-            if z_rel < c.fallen_z:
+            win_err = float(np.mean(st["com_errs"][-1])) if metrics is not None else 0.0
+            if metrics is None:
+                pass                     # plan-only iteration: nothing executed
+            elif z_rel < c.fallen_z:
                 aborted = True
                 if verbose:
                     print(
@@ -882,10 +890,19 @@ class RecedingHorizonRunner:
                 st["consec_diverged"] = 0
             if aborted:
                 break
-            if np.linalg.norm(pos[:2] - goal_r_final[:2]) < 1.5 * c.goal_tol:
+            dist_goal = float(np.linalg.norm(pos[:2] - goal_r_final[:2]))
+            if dist_goal < c.goal_tol:
                 reached = True
                 break
             if st["planning_done"] and exec_idx >= self.buffer_end - 1:
+                # terminal refinement: the final planned window is executed
+                # but the robot stopped short of the goal (stitch granularity
+                # + drift) — keep replanning short approach windows until
+                # within goal_tol (bounded by max_windows).  Matches the
+                # reference's goal_diff < 0.1 criterion (main.py:40).
+                if dist_goal > c.goal_tol and st["window"] < c.max_windows:
+                    st["planning_done"] = False
+                    continue
                 break
 
         sim = st["sim"]
@@ -901,7 +918,7 @@ class RecedingHorizonRunner:
         sim_feet = np.concatenate(st["sim_feet"]) if st["sim_feet"] else np.zeros((1, 4, 3))
         return RunReport(
             reached_goal=bool(
-                reached or np.linalg.norm(np.asarray(sim.pos)[:2] - goal_r_final[:2]) < 2 * c.goal_tol
+                reached or np.linalg.norm(np.asarray(sim.pos)[:2] - goal_r_final[:2]) < 1.5 * c.goal_tol
             ),
             windows=len(statuses),
             sim_ticks=total_ticks,
