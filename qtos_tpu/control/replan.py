@@ -183,9 +183,11 @@ def _plan_batch_core(rows, goals_r, goals_yaw, t0s, x0, drift3, dyaw, terrain,
     xy there is no double-count bookkeeping: plan rows carry absolute yaw, so
     the next residual is measured directly against the already-turned plan."""
     k = rows.shape[0]
+    feet_pre = rows[:, 7:19].reshape(k, 4, 3)
+    r_pre = rows[:, 1:4]
     rows = rows.at[:, 1:4].add(drift3)
     rows = rows.at[:, 6].add(dyaw)
-    feet = rows[:, 7:19].reshape(k, 4, 3) + drift3[None, None, :]
+    feet = feet_pre + drift3[None, None, :]
     # rotate feet about the (shifted) CoM and the velocity by the yaw residual
     ca, sa = jnp.cos(dyaw), jnp.sin(dyaw)
     rel = feet[:, :, :2] - rows[:, None, 1:3]
@@ -193,6 +195,19 @@ def _plan_batch_core(rows, goals_r, goals_yaw, t0s, x0, drift3, dyaw, terrain,
         [ca * rel[..., 0] - sa * rel[..., 1],
          sa * rel[..., 0] + ca * rel[..., 1]], axis=-1)
     feet = feet.at[:, :, :2].set(rows[:, None, 1:3] + rel_rot)
+    # Re-seat z on the terrain: the drift/yaw shift moves feet in xy but the
+    # rows carry z from the ORIGINAL xy — on banded terrain (exp_2/5/6) a
+    # 0.1-0.3 m shift strands a stance foot 2-7 cm off the surface, making
+    # the start state terrain-infeasible (init-vs-terrain conflict, measured
+    # viol 0.023-0.03).  Shifting z by the local terrain delta preserves both
+    # stance seating and swing clearance; the CoM rides the same delta.
+    if terrain is not None:
+        h_pre = height_at(terrain, feet_pre[..., 0], feet_pre[..., 1])
+        h_post = height_at(terrain, feet[..., 0], feet[..., 1])
+        feet = feet.at[..., 2].add(h_post - h_pre)
+        hc_pre = height_at(terrain, r_pre[:, 0], r_pre[:, 1])
+        hc_post = height_at(terrain, rows[:, 1], rows[:, 2])
+        rows = rows.at[:, 3].add(hc_post - hc_pre)
     v = rows[:, 19:21]
     v_rot = jnp.stack([ca * v[:, 0] - sa * v[:, 1],
                        sa * v[:, 0] + ca * v[:, 1]], axis=-1)
@@ -278,6 +293,10 @@ class RecedingHorizonRunner:
         # leak the first runner's resolved gains into the second)
         self.control = self.cfg.control or gait_control_params(self.cfg.gait)
         self.goal_xy = np.asarray(goal_xy, np.float32)
+        # kept for global replans after dynamic-terrain events: new obstacles
+        # add their own blocked cells ON TOP of the startup (possibly
+        # solver-probed) map
+        self._blocked0 = None if blocked is None else np.asarray(blocked)
         self.planner = GlobalPlanner(
             terrain, start_xy, goal_xy, avg_speed=self.cfg.avg_speed, blocked=blocked
         )
@@ -442,6 +461,10 @@ class RecedingHorizonRunner:
         if sel is None:
             # stance-hold fallback at the earliest stitch row (drift applied,
             # so the hold happens where the robot actually is)
+            best = int(np.argmin(viol))
+            fams = {k: float(np.asarray(v)[best]) for k, v in res.viol.items()}
+            top = sorted(fams, key=fams.get, reverse=True)[:3]
+            self.last_fail_viol = {k: fams[k] for k in top}
             at = ats[0]
             row0 = np.asarray(p["rows"][0]).copy()
             d3 = np.asarray(p["drift3"])
@@ -537,6 +560,31 @@ class RecedingHorizonRunner:
         self._row_shift[n_rem:] = 0.0
         self.buffer_end = n_rem
         st["exec_idx"] = 1
+
+    def _global_replan(self, from_xy, verbose: bool = False):
+        """Rebuild the global spine from the robot's current position over the
+        CURRENT terrain.  Blocked cells = the startup map (solver-probed for
+        bool_map_search experiments) OR the fresh traversability of the
+        changed terrain, so both pre-probed pillars and newly spawned
+        obstacles divert the path.  If no path exists the old spine is kept
+        (the window solves will fail into the stance-hold policy)."""
+        from qtos_tpu.terrain.heightfield import traversability_map
+
+        blocked = np.asarray(traversability_map(self.terrain)) > 0.5
+        if self._blocked0 is not None:
+            blocked = blocked | (self._blocked0 > 0.5)
+        try:
+            self.planner = GlobalPlanner(
+                self.terrain, tuple(from_xy), tuple(self.goal_xy),
+                avg_speed=self.cfg.avg_speed, blocked=blocked,
+            )
+            if verbose:
+                print(f"[terrain changed] global replan from "
+                      f"({from_xy[0]:.2f},{from_xy[1]:.2f})")
+        except RuntimeError as e:
+            if verbose:
+                print(f"[terrain changed] global replan failed ({e}); "
+                      "keeping old spine")
 
     def _reality_reset(self, sim):
         """Stance-hold at the MEASURED sim state, stitched at the execution
@@ -741,9 +789,43 @@ class RecedingHorizonRunner:
             solve_times = st["solve_times"]
             statuses = st["statuses"]
             # dynamic terrain (exp_8): mutate the world between windows; the
-            # jitted solver/sim take terrain as data, so no recompilation
+            # jitted solver/sim take terrain as data, so no recompilation.
+            # A changed world also triggers a GLOBAL replan from the robot's
+            # current position — a spawned obstacle on the old spine would
+            # otherwise drive every window solve straight into it (the
+            # reference's exp_8 probes its bool map only at startup,
+            # QTOS/simulation.py:102-115; routing around mid-run spawns is a
+            # capability the in-process planner makes cheap).
             if c.terrain_update is not None:
-                self.terrain = c.terrain_update(window, self.terrain)
+                new_terrain = c.terrain_update(window, self.terrain)
+                if new_terrain is not self.terrain:
+                    old_terrain = self.terrain
+                    self.terrain = new_terrain
+                    self._global_replan(np.asarray(sim.pos)[:2], verbose)
+                    # The buffer tail was planned on the OLD world.  If the
+                    # change moved the ground under any upcoming planned
+                    # foothold (e.g. a box spawned on the path), executing it
+                    # walks the robot straight into the new geometry —
+                    # stance-hold at the measured state and replan from
+                    # reality instead.  Changes away from the plan (the
+                    # common shift_terrain case) skip the hold.
+                    ei, be = st["exec_idx"], self.buffer_end
+                    if be > ei:
+                        rows = self.host_buf.read(ei, be - ei)[::50]
+                        feet = rows[:, 7:19].reshape(-1, 3)
+                        fx = jnp.asarray(feet[:, 0])
+                        fy = jnp.asarray(feet[:, 1])
+                        dh = jnp.max(jnp.abs(
+                            height_at(new_terrain, fx, fy)
+                            - height_at(old_terrain, fx, fy)))
+                        if float(dh) > 0.05:
+                            if verbose:
+                                print(f"[terrain changed] upcoming plan "
+                                      f"invalidated (dh={float(dh):.2f}) — "
+                                      "holding stance, replanning from reality")
+                            self._reality_reset(sim)
+                            st["stance_holds"] += 1
+                            st["planning_done"] = False
             # long runs (exp_9: ~52k rows + stance holds) would overrun the
             # fixed-capacity buffer — drop already-executed rows when the
             # tail nears capacity (archived for the end-of-run report)
@@ -820,7 +902,8 @@ class RecedingHorizonRunner:
                     st["stance_holds"] += 1
                     if verbose:
                         print(
-                            f"[window {window}] PLAN FAILED (viol={viol:.3g}) — "
+                            f"[window {window}] PLAN FAILED (viol={viol:.3g}, "
+                            f"top={getattr(self, 'last_fail_viol', {})}) — "
                             f"stance hold {st['consec_failures']}/{c.max_consec_failures}"
                         )
                     if st["consec_failures"] >= c.max_consec_failures:

@@ -300,18 +300,23 @@ def knot_normal_lanes(xT, ls, terrain: Terrain, cfg: SolverConfig):
     nominal = Solo12.nominal_feet[:, :, None, None]
     d = jnp.sum(R[None] * pr[:, :, None], axis=1) - nominal        # R^T (p - r)
     box = jnp.asarray(cfg.rom_box)[None, :, None, None]
-    hi = jnp.maximum(d - box, 0.0) * W.rom
-    lo = jnp.maximum(-d - box, 0.0) * W.rom
-    res_post = d * W.post_reg
+    # first-stance relaxation (KnotAux.rom_relax semantics): contact unbroken
+    # since knot 0 -> the box/posture do not constrain that foot yet
+    rom_act = 1.0 - jnp.cumprod(c, axis=1)                         # (4, K, N)
+    w_rom = (W.rom * rom_act)[:, None]                             # (4, 1, K, N)
+    w_post = (W.post_reg * rom_act)[:, None]
+    hi = jnp.maximum(d - box, 0.0) * w_rom
+    lo = jnp.maximum(-d - box, 0.0) * w_rom
+    res_post = d * w_post
     sq += _sq(hi) + _sq(lo) + _sq(res_post)
 
     # dd[f, m, j] = sum_a dR[j, a, m] pr[f, a]
     dd = jnp.sum(dR[None] * pr[:, None, :, None], axis=2)          # (4, j, m, K, N)
     dd = jnp.swapaxes(dd, 1, 2)                                    # (4, m, j, K, N)
-    act_hi = (d - box > 0).astype(dt_) * W.rom
-    act_lo = (-d - box > 0).astype(dt_) * W.rom
-    coef_rom = act_hi**2 + act_lo**2 + W.post_reg**2               # (4, 3, K, N)
-    gc = act_hi * hi - act_lo * lo + W.post_reg * res_post
+    act_hi = (d - box > 0).astype(dt_) * w_rom
+    act_lo = (-d - box > 0).astype(dt_) * w_rom
+    coef_rom = act_hi**2 + act_lo**2 + w_post**2                   # (4, 3, K, N)
+    gc = act_hi * hi - act_lo * lo + w_post * res_post
 
     # sums over the component index m (3), unrolled as mul-reduce
     Rm = jnp.moveaxis(R, 1, 0)                                     # (m, 3, K, N): Rm[m] = R[:, m]

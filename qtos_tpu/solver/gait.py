@@ -39,7 +39,7 @@ def trot_schedule(
     K: int,
     dt: float,
     period: float = 0.5,
-    duty: float = 0.5,
+    duty: float = 0.6,
     offsets=(0.5, 0.0, 0.0, 0.5),
     stance_head: float = 0.2,
     stance_tail: float = 0.2,
@@ -47,7 +47,15 @@ def trot_schedule(
     """Trot: diagonal pairs alternate; full stance at both window ends
     (TOWR's solo12 gaits also open/close with stance phases, which is what
     makes the receding-horizon stitch points exist — reference:
-    QTOS/combiner.py:245-296 searches for all-feet-in-contact rows)."""
+    QTOS/combiner.py:245-296 searches for all-feet-in-contact rows).
+
+    ``duty = 0.6`` gives a walking trot: the diagonal pairs OVERLAP in a
+    brief four-foot stance every half period.  Measured on the 5.6 m flat
+    course (plane x4): duty 0.5 diverges 4x and never arrives (err/s 99);
+    duty 0.6 arrives in 11 windows with zero divergences at err/s 47 — the
+    periodic whole-support moments arrest lateral drift that the pure
+    two-foot trot integrates, and they give the stitch-row search
+    all-feet-in-contact rows every 0.25 s instead of only at window ends."""
     t = jnp.arange(K) * dt
     offs = jnp.asarray(offsets)
     T = (K - 1) * dt

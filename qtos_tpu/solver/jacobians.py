@@ -154,8 +154,10 @@ def knot_system(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
     box = jnp.asarray(cfg.rom_box)
     hi = jnp.maximum(d - box[None, :], 0.0)
     lo = jnp.maximum(-d - box[None, :], 0.0)
-    res_rom = jnp.concatenate([hi, lo], axis=-1).reshape(24) * W.rom
-    res_post = d.reshape(12) * W.post_reg
+    # first-stance relaxation (see KnotAux.rom_relax)
+    rom_act = (1.0 - aux.rom_relax)[:, None]
+    res_rom = (jnp.concatenate([hi, lo], axis=-1) * rom_act).reshape(24) * W.rom
+    res_post = (d * rom_act).reshape(12) * W.post_reg
 
     # dd/dth: for foot k, component m: sum_a dR[j][a, m] * (p-r)[k, a]
     dd_dth = jnp.einsum("jam,ka->kmj", dR, p - r[None, :])         # (4, 3, 3)
@@ -166,12 +168,12 @@ def knot_system(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
         [u_r, dd_dth, jnp.zeros((4, 3, 6), dt_), u_p, jnp.zeros((4, 3, 12), dt_)],
         axis=-1,
     )                                                              # (4, 3, NV)
-    act_hi = (d - box[None, :] > 0).astype(dt_)
-    act_lo = (-d - box[None, :] > 0).astype(dt_)
+    act_hi = (d - box[None, :] > 0).astype(dt_) * rom_act
+    act_lo = (-d - box[None, :] > 0).astype(dt_) * rom_act
     J_hi = (act_hi * W.rom)[..., None] * u
     J_lo = -(act_lo * W.rom)[..., None] * u
     J_rom = jnp.concatenate([J_hi, J_lo], axis=1).reshape(24, NV)  # [hi(3), lo(3)]/foot
-    J_post = (W.post_reg * u).reshape(12, NV)
+    J_post = (W.post_reg * rom_act[..., None] * u).reshape(12, NV)
 
     # 8. init
     st = spec.start

@@ -171,16 +171,19 @@ def knot_normal(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
     R, dR = _rot_derivs(th)
     d = jnp.einsum("ji,kj->ki", R, p - r[None, :]) - Solo12.nominal_feet
     box = jnp.asarray(cfg.rom_box)
-    hi = jnp.maximum(d - box[None, :], 0.0) * W.rom
-    lo = jnp.maximum(-d - box[None, :], 0.0) * W.rom
-    res_post = d * W.post_reg
+    # first-stance relaxation (see KnotAux.rom_relax)
+    w_rom = W.rom * (1.0 - aux.rom_relax)[:, None]                 # (4, 1)
+    w_post = W.post_reg * (1.0 - aux.rom_relax)[:, None]
+    hi = jnp.maximum(d - box[None, :], 0.0) * w_rom
+    lo = jnp.maximum(-d - box[None, :], 0.0) * w_rom
+    res_post = d * w_post
     sq += _sq(hi) + _sq(lo) + _sq(res_post)
 
     dd_dth = jnp.einsum("jam,ka->kmj", dR, p - r[None, :])         # (4, m, 3)
-    act_hi = (d - box[None, :] > 0).astype(dt_) * W.rom
-    act_lo = (-d - box[None, :] > 0).astype(dt_) * W.rom
-    coef_rom = act_hi**2 + act_lo**2 + W.post_reg**2               # (4, m)
-    gc = act_hi * hi - act_lo * lo + W.post_reg * res_post         # (4, m)
+    act_hi = (d - box[None, :] > 0).astype(dt_) * w_rom
+    act_lo = (-d - box[None, :] > 0).astype(dt_) * w_rom
+    coef_rom = act_hi**2 + act_lo**2 + w_post**2                   # (4, m)
+    gc = act_hi * hi - act_lo * lo + w_post * res_post             # (4, m)
 
     RR = jnp.einsum("im,am,bm->iab", coef_rom, R, R)               # (4, 3, 3)
     RT = jnp.einsum("im,am,imb->iab", coef_rom, R, dd_dth)

@@ -52,6 +52,8 @@ def _aux(spec: ProblemSpec) -> KnotAux:
         swing_prog=spec.schedule.swing_progress,
         is_first=(idx == 0).astype(jnp.float32),
         is_last=(idx == K - 1).astype(jnp.float32),
+        # 1.0 while contact has been unbroken since knot 0 (first stance)
+        rom_relax=jnp.cumprod(spec.schedule.contact, axis=0),
     )
 
 

@@ -42,6 +42,14 @@ class KnotAux(NamedTuple):
     swing_prog: jax.Array     # (4,)
     is_first: jax.Array       # ()
     is_last: jax.Array        # ()
+    # (4,) 1.0 while a foot is still in its FIRST stance phase (contact
+    # unbroken since knot 0).  The RoM box and posture centering are relaxed
+    # there: the start state is a boundary condition, not a choice — a
+    # diverged robot may start with feet OUTSIDE the box, and enforcing the
+    # box against the init/stationarity constraints makes the recovery window
+    # infeasible (measured: init violation 0.06 from a 0.25 m offset start).
+    # Recovery happens at each foot's first touchdown, where the box applies.
+    rom_relax: jax.Array
 
 
 def _components(xk):
@@ -104,18 +112,22 @@ def knot_residuals(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: S
         axis=-1,
     ) * c[:, None] * W.fric
 
-    # kinematic range-of-motion box in base frame (rangeofmotion analog)
+    # kinematic range-of-motion box in base frame (rangeofmotion analog);
+    # relaxed during each foot's first stance phase (see KnotAux.rom_relax)
     R = euler_to_rot(th)
     p_base = jnp.einsum("ji,kj->ki", R, p - r[None, :])
     d = p_base - Solo12.nominal_feet
     box = jnp.asarray(cfg.rom_box)
-    res_rom = jnp.concatenate(
-        [jnp.maximum(d - box[None, :], 0.0), jnp.maximum(-d - box[None, :], 0.0)],
-        axis=-1,
+    active = (1.0 - aux.rom_relax)[:, None]
+    res_rom = (
+        jnp.concatenate(
+            [jnp.maximum(d - box[None, :], 0.0), jnp.maximum(-d - box[None, :], 0.0)],
+            axis=-1,
+        ) * active
     ).reshape(24) * W.rom
 
-    # soft posture centering
-    res_post = d.reshape(12) * W.post_reg
+    # soft posture centering (same first-stance relaxation)
+    res_post = (d * active).reshape(12) * W.post_reg
 
     # boundary conditions
     st = spec.start

@@ -95,10 +95,10 @@ def main(argv=None):
         from qtos_tpu.terrain.heightfield import add_box_obstacle
 
         def terrain_update(window, terr):
-            if window >= 2 and window % 2 == 0:
-                x = 1.0 + 0.5 * (window // 2 - 1)
+            if window in (2, 4):
+                x = 1.5 + 1.0 * (window // 2 - 1)
                 print(f"[dynamic terrain] spawning obstacle at x={x:.1f}")
-                return add_box_obstacle(terr, x, 0.45)
+                return add_box_obstacle(terr, x, 0.0)
             return terr
 
         cfg.terrain_update = terrain_update

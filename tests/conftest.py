@@ -32,10 +32,19 @@ def _host_cache_dir():
         flags = next((l for l in info.splitlines() if l.startswith("flags")), "")
     except OSError:
         flags = ""
+    # cpuinfo flags alone are NOT sufficient: two fleet hosts with an
+    # identical flags line can still disagree on the feature set XLA bakes
+    # into AOT entries (observed: +prefer-no-scatter mismatch warnings, then
+    # a C-level abort mid-suite).  The machine-id pins entries to this boot's
+    # host at the cost of cold compiles after a host change.
+    try:
+        machine = open("/etc/machine-id").read().strip()
+    except OSError:
+        machine = ""
     import jaxlib
 
     fp = hashlib.sha256(
-        (flags + jaxlib.__version__).encode()
+        (flags + machine + jaxlib.__version__).encode()
     ).hexdigest()[:12]
     return os.path.join(os.path.dirname(__file__), "..", ".jax_cache", f"cpu-{fp}")
 
