@@ -101,6 +101,15 @@ class RunnerConfig:
     # keeps fallback candidates genuinely different (an easier, shorter-step
     # NLP), so "first converged wins" is a real fallback tier.
     candidate_goal_backoff: float = 0.12
+    # Terrain-aware pacing: each window's spine advance is scaled by
+    # 1 / (1 + rough_pace * height_span) of the upcoming segment — full speed
+    # on flat, slower over steps.  Default OFF: measured on exp_2 (banded
+    # terrain), pacing at 8.0 made the run WORSE (fell at 3.2 m vs reaching
+    # the 5.6 m goal unpaced — the shorter paced steps put more touchdowns
+    # near band edges while the gait cadence stays fixed).  Kept as a config
+    # lever; the load-bearing rough-terrain machinery is the divergence
+    # watchdog + reality reset + first-stance RoM relaxation.
+    rough_pace: float = 0.0
     # Warm-starting candidate windows from the shifted previous solution is
     # available but off by default: the fresh schedule-aware guess aligns gait
     # phases with the new window's head stance, which empirically tracks better.
@@ -401,6 +410,9 @@ class RecedingHorizonRunner:
             # goal backoff keeps clamped-target candidates distinct (an
             # easier shorter-step NLP as the fallback tier — see RunnerConfig)
             horizon = c.window_duration * (1.0 - c.candidate_goal_backoff * i)
+            if c.rough_pace > 0:
+                span = self.planner.height_span(t_spine, horizon)
+                horizon *= 1.0 / (1.0 + c.rough_pace * span)
             gv, gy = self.planner.spine_step(t_spine, horizon)
             if np.linalg.norm(gv[:2] - goal_r_final[:2]) < c.goal_tol:
                 gv = goal_r_final
@@ -595,7 +607,16 @@ class RecedingHorizonRunner:
         exec_idx = st["exec_idx"]
         pos = np.asarray(sim.pos)
         eul = np.asarray(sim.eul)
-        feet = np.asarray(Solo12.fk_world(sim.q, sim.pos, sim.eul))
+        feet = np.array(Solo12.fk_world(sim.q, sim.pos, sim.eul))
+        # Seat feet ON the surface: the sim's penalty contact has no lateral
+        # wall force, so on stepped terrain a foot can end up embedded INSIDE
+        # a riser — a hold row encoding that state is terrain-infeasible and
+        # deadlocks every subsequent replan (measured: init 0.09 / terrain
+        # 0.067 failures on exp_6).  The plan must target surface placement;
+        # the controller pulls the physical foot out toward it.
+        h_feet = np.asarray(height_at(self.terrain, jnp.asarray(feet[:, 0]),
+                                      jnp.asarray(feet[:, 1])))
+        feet[:, 2] = np.maximum(feet[:, 2], h_feet - 0.005)
         t_path = float(self.host_buf.read(max(exec_idx - 1, 0), 1)[0][0])
         row = np.concatenate(
             [[t_path], pos, eul, feet.reshape(12), np.zeros(3), np.zeros(3),

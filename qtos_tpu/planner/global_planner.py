@@ -183,6 +183,22 @@ class GlobalPlanner:
         z = self._height_np_at(x, y) + Solo12.stand_height
         return np.array([x, y, z]), yaw
 
+    def height_span(self, t: float, horizon: float) -> float:
+        """Max height variation along the path segment [t, t + horizon].
+
+        The receding-horizon runner paces windows by this (slow down over
+        steps/stairs, full speed on flat) — the reference walks every terrain
+        at one speed and relies on its operator choosing per-experiment
+        speeds.  Pure host numpy (replan latency path)."""
+        t = float(np.clip(t, 0.0, self.total_time))
+        t1 = float(np.clip(t + horizon, 0.0, self.total_time))
+        mask = (self._dense_ts >= t) & (self._dense_ts <= t1)
+        xy = self._dense_xy[mask]
+        if len(xy) < 2:
+            return 0.0
+        hs = [self._height_np_at(x, y) for x, y in xy]
+        return float(np.max(hs) - np.min(hs))
+
     def time_at_position(self, xy) -> float:
         """Path time of the point nearest to xy — progress projection.
 

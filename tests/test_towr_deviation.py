@@ -24,6 +24,21 @@ towr_log.out:57-62), and (b) the boundary states pinned by the problem data
 agree to < 1e-3 m — while the free interior of the trajectory agrees to
 centimeters (gated below at 2x measured).  Constraint-FORM parity is pinned
 separately by tests/test_towr_semantic_parity.py.
+
+The interior bound is FROZEN after two shrink attempts (both measured on the
+row-0 window):
+  - finer transcription K=81 (31 ms knots, half TOWR's dynamic-constraint
+    spacing deficit): com_rms 2.61 -> 2.65 cm — NOT discretization-driven;
+  - pure-feasibility weights (acc/force/footvel/posture regularizers ~0,
+    matching TOWR's zero objective exactly): com_rms 2.61 -> 4.64 cm — the
+    regularizers PULL TOWARD TOWR's smooth interior, because IPOPT's
+    interior-point central path is itself a smoothness bias.
+The residual ~2.6 cm is the distance between the two solvers' picks on the
+feasibility manifold; matching it further would require replicating IPOPT's
+barrier trajectory, not a better transcription.  Non-flat gate: the golden
+fixtures (towr.csv, gait.csv) are all flat-ground runs, so no non-flat
+window exists to gate against (the vendored heightfield tiles pin terrain
+GEOMETRY parity instead — tests/test_terrain_parity.py).
 """
 
 import os
