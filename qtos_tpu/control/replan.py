@@ -110,6 +110,12 @@ class RunnerConfig:
     # lever; the load-bearing rough-terrain machinery is the divergence
     # watchdog + reality reset + first-stance RoM relaxation.
     rough_pace: float = 0.0
+    # Curvature-aware pacing: window advance scaled by
+    # 1 / (1 + turn_pace * total_heading_change) of the upcoming segment.
+    # Every observed catastrophic obstacle-detour failure (exp_7 bridge
+    # approach, exp_8 spawn bypass, the routing test) was a sharp spine
+    # curve executed at full speed; straight segments are unaffected.
+    turn_pace: float = 1.2
     # Warm-starting candidate windows from the shifted previous solution is
     # available but off by default: the fresh schedule-aware guess aligns gait
     # phases with the new window's head stance, which empirically tracks better.
@@ -413,6 +419,9 @@ class RecedingHorizonRunner:
             if c.rough_pace > 0:
                 span = self.planner.height_span(t_spine, horizon)
                 horizon *= 1.0 / (1.0 + c.rough_pace * span)
+            if c.turn_pace > 0:
+                turn = self.planner.turn_in(t_spine, horizon)
+                horizon *= 1.0 / (1.0 + c.turn_pace * turn)
             gv, gy = self.planner.spine_step(t_spine, horizon)
             if np.linalg.norm(gv[:2] - goal_r_final[:2]) < c.goal_tol:
                 gv = goal_r_final
@@ -608,12 +617,15 @@ class RecedingHorizonRunner:
         pos = np.asarray(sim.pos)
         eul = np.asarray(sim.eul)
         feet = np.array(Solo12.fk_world(sim.q, sim.pos, sim.eul))
-        # Seat feet ON the surface: the sim's penalty contact has no lateral
-        # wall force, so on stepped terrain a foot can end up embedded INSIDE
-        # a riser — a hold row encoding that state is terrain-infeasible and
-        # deadlocks every subsequent replan (measured: init 0.09 / terrain
-        # 0.067 failures on exp_6).  The plan must target surface placement;
-        # the controller pulls the physical foot out toward it.
+        # Lift feet embedded INSIDE geometry (the sim's penalty contact has
+        # no lateral wall force, so a foot can clip into a riser) onto the
+        # surface; feet measured ABOVE the surface (resting on a bump/ledge
+        # edge whose bilinear height at the foot's own xy is lower) keep
+        # their measured z — yanking a load-bearing foot down collapses the
+        # stance (measured: exp_6 tumbled out of the hold).  The hover is
+        # instead accommodated by the solver's first-stance terrain slack
+        # (KnotAux.terr_slack), the same boundary-condition treatment as the
+        # RoM box widening.
         h_feet = np.asarray(height_at(self.terrain, jnp.asarray(feet[:, 0]),
                                       jnp.asarray(feet[:, 1])))
         feet[:, 2] = np.maximum(feet[:, 2], h_feet - 0.005)
@@ -834,8 +846,13 @@ class RecedingHorizonRunner:
                     if be > ei:
                         rows = self.host_buf.read(ei, be - ei)[::50]
                         feet = rows[:, 7:19].reshape(-1, 3)
-                        fx = jnp.asarray(feet[:, 0])
-                        fy = jnp.asarray(feet[:, 1])
+                        # feet AND the CoM track: a body-width obstacle can
+                        # sit between the foot lines (exp_8's 0.2 m box:
+                        # feet straddle it, the base crosses it — checking
+                        # feet alone executed the old plan straight into it)
+                        pts = np.concatenate([feet[:, :2], rows[:, 1:3]])
+                        fx = jnp.asarray(pts[:, 0])
+                        fy = jnp.asarray(pts[:, 1])
                         dh = jnp.max(jnp.abs(
                             height_at(new_terrain, fx, fy)
                             - height_at(old_terrain, fx, fy)))

@@ -38,14 +38,13 @@ class GlobalPlanner:
         goal_xy,
         avg_speed: float = 0.24,
         blocked: np.ndarray | None = None,
-        safety_margin_cells: int = 1,
+        safety_margin_m: float = 0.15,
     ):
         self.terrain = terrain
         self.avg_speed = float(avg_speed)
         if blocked is None:
             blocked = np.asarray(traversability_map(terrain))
-        blocked = self._inflate(np.asarray(blocked) > 0.5, safety_margin_cells)
-        self.blocked = blocked
+        raw_blocked = np.asarray(blocked) > 0.5
 
         try:
             from qtos_tpu.runtime import native_astar, native_available
@@ -53,10 +52,22 @@ class GlobalPlanner:
             use_native = native_available()
         except Exception:
             use_native = False
-        if use_native:
-            cells = native_astar(blocked, self._to_cell(start_xy), self._to_cell(goal_xy))
-        else:
-            cells = astar(blocked, self._to_cell(start_xy), self._to_cell(goal_xy))
+        search = native_astar if use_native else astar
+
+        # Obstacle inflation in METERS (≈ half a body width plus tracking
+        # wobble), converted to cells at the map's resolution: a cell count
+        # silently halves the clearance on mesh_scale=2 maps (measured:
+        # exp_7's spine passed 5 cm from the 0.25 m bridge wall and the
+        # robot clipped it; a 1-m pillar clip tumbled exp_8).  If the full
+        # margin seals the corridor shut, retry at smaller margins — a tight
+        # path beats no path (the reference has no inflation at all).
+        want = max(1, int(round(safety_margin_m / terrain.resolution)))
+        cells = None
+        for margin in range(want, 0, -1):
+            self.blocked = self._inflate(raw_blocked, margin)
+            cells = search(self.blocked, self._to_cell(start_xy), self._to_cell(goal_xy))
+            if cells is not None:
+                break
         if cells is None:
             raise RuntimeError(
                 f"global planner: no path from {tuple(start_xy)} to {tuple(goal_xy)}"
@@ -198,6 +209,26 @@ class GlobalPlanner:
             return 0.0
         hs = [self._height_np_at(x, y) for x, y in xy]
         return float(np.max(hs) - np.min(hs))
+
+    def turn_in(self, t: float, horizon: float) -> float:
+        """Total absolute heading change [rad] along [t, t + horizon].
+
+        The runner paces windows by this: every observed catastrophic
+        tracking failure on obstacle detours happened while executing a
+        sharp spine curve at full speed (exp_7's bridge approach, exp_8's
+        spawn detour) — the tracking controller handles straight lines and
+        gentle arcs, so sharp turns are taken slowly instead."""
+        t = float(np.clip(t, 0.0, self.total_time))
+        t1 = float(np.clip(t + horizon, 0.0, self.total_time))
+        mask = (self._dense_ts >= t) & (self._dense_ts <= t1)
+        xy = self._dense_xy[mask]
+        if len(xy) < 3:
+            return 0.0
+        d = np.diff(xy, axis=0)
+        yaw = np.arctan2(d[:, 1], d[:, 0])
+        dyaw = np.diff(yaw)
+        dyaw = np.arctan2(np.sin(dyaw), np.cos(dyaw))
+        return float(np.abs(dyaw).sum())
 
     def time_at_position(self, xy) -> float:
         """Path time of the point nearest to xy — progress projection.

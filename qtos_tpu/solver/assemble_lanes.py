@@ -244,8 +244,13 @@ def knot_normal_lanes(xT, ls, terrain: Terrain, cfg: SolverConfig):
     a_dir = jnp.stack([-hx, -hy, jnp.ones_like(hx)], axis=1)       # (4, 3, K, N)
 
     # --- terrain / clearance / no-penetration -------------------------------
+    # first-stance terrain slack (KnotAux.terr_slack semantics): the target
+    # is h + the start state's measured hover while contact is unbroken
+    h0 = height_at(terrain, ls["st_feet"][:, 0], ls["st_feet"][:, 1])  # (4, N)
+    hover0 = jnp.maximum(ls["st_feet"][:, 2] - h0, 0.0)
+    slack = jnp.cumprod(c, axis=1) * hover0[:, None, :]            # (4, K, N)
     mT = c * W.terr
-    res_terr = (p[:, 2] - h) * mT
+    res_terr = (p[:, 2] - h - slack) * mT
     bell = jnp.sin(jnp.pi * prog)
     mC = swing * W.clear
     res_clear = (p[:, 2] - (h + cfg.swing_clearance * bell)) * mC
@@ -299,24 +304,28 @@ def knot_normal_lanes(xT, ls, terrain: Terrain, cfg: SolverConfig):
     pr = p - r[None]                                               # (4, 3, K, N)
     nominal = Solo12.nominal_feet[:, :, None, None]
     d = jnp.sum(R[None] * pr[:, :, None], axis=1) - nominal        # R^T (p - r)
-    box = jnp.asarray(cfg.rom_box)[None, :, None, None]
-    # first-stance relaxation (KnotAux.rom_relax semantics): contact unbroken
-    # since knot 0 -> the box/posture do not constrain that foot yet
-    rom_act = 1.0 - jnp.cumprod(c, axis=1)                         # (4, K, N)
-    w_rom = (W.rom * rom_act)[:, None]                             # (4, 1, K, N)
-    w_post = (W.post_reg * rom_act)[:, None]
-    hi = jnp.maximum(d - box, 0.0) * w_rom
-    lo = jnp.maximum(-d - box, 0.0) * w_rom
-    res_post = d * w_post
+    # box widened by the start state's out-of-box overshoot during each
+    # foot's first stance (KnotAux.box_widen semantics — see transcription)
+    R0 = _rot_lanes(ls["st_eul"])                                  # (3, 3, N)
+    pr0 = ls["st_feet"] - ls["st_r"][None]                         # (4, 3, N)
+    d0 = jnp.sum(R0[None] * pr0[:, :, None], axis=1) - Solo12.nominal_feet[:, :, None]
+    box3 = jnp.asarray(cfg.rom_box)[None, :, None]
+    over = jnp.maximum(jnp.abs(d0) - box3, 0.0)                    # (4, 3, N)
+    first_stance = jnp.cumprod(c, axis=1)                          # (4, K, N)
+    box = (jnp.asarray(cfg.rom_box)[None, :, None, None]
+           + over[:, :, None, :] * first_stance[:, None, :, :])    # (4, 3, K, N)
+    hi = jnp.maximum(d - box, 0.0) * W.rom
+    lo = jnp.maximum(-d - box, 0.0) * W.rom
+    res_post = d * W.post_reg
     sq += _sq(hi) + _sq(lo) + _sq(res_post)
 
     # dd[f, m, j] = sum_a dR[j, a, m] pr[f, a]
     dd = jnp.sum(dR[None] * pr[:, None, :, None], axis=2)          # (4, j, m, K, N)
     dd = jnp.swapaxes(dd, 1, 2)                                    # (4, m, j, K, N)
-    act_hi = (d - box > 0).astype(dt_) * w_rom
-    act_lo = (-d - box > 0).astype(dt_) * w_rom
-    coef_rom = act_hi**2 + act_lo**2 + w_post**2                   # (4, 3, K, N)
-    gc = act_hi * hi - act_lo * lo + w_post * res_post
+    act_hi = (d - box > 0).astype(dt_) * W.rom
+    act_lo = (-d - box > 0).astype(dt_) * W.rom
+    coef_rom = act_hi**2 + act_lo**2 + W.post_reg**2               # (4, 3, K, N)
+    gc = act_hi * hi - act_lo * lo + W.post_reg * res_post
 
     # sums over the component index m (3), unrolled as mul-reduce
     Rm = jnp.moveaxis(R, 1, 0)                                     # (m, 3, K, N): Rm[m] = R[:, m]
@@ -344,6 +353,17 @@ def knot_normal_lanes(xT, ls, terrain: Terrain, cfg: SolverConfig):
         gv.add(4 + i, gcoef_p[i][None] * a_dir[i] + g_p_rom[i])
         G.add(8 + i, 8 + i, (mF[i] ** 2)[None, None] * I3 + FtF[i])
         gv.add(8 + i, mF[i][None] * res_fzero[i] + gfr[i])
+
+    # --- base clearance hinge: rank-1 on the r group ------------------------
+    hb = height_at(terrain, r[0], r[1])                            # (K, N)
+    hbx, hby = grad_at(terrain, r[0], r[1])
+    gb = hb + cfg.body_clearance - r[2]
+    act_b = (gb > 0.0).astype(dt_) * W.body
+    res_b = jnp.maximum(gb, 0.0) * W.body
+    u_b = jnp.stack([hbx, hby, -jnp.ones_like(hbx)], axis=0)       # (3, K, N)
+    G.add(_G_R, _G_R, (act_b**2)[None, None] * (u_b[:, None] * u_b[None, :]))
+    gv.add(_G_R, (act_b * res_b)[None] * u_b)
+    sq += _sq(res_b)
 
     # --- init (first knot) ---------------------------------------------------
     ifirst = (jnp.arange(K) == 0).astype(dt_)[:, None]             # (K, 1)

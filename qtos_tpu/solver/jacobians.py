@@ -93,8 +93,8 @@ def knot_system(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
     # foot-height gradient direction d(pz - h)/dp_i = [-hx, -hy, 1]
     a_dir = jnp.stack([-hx, -hy, jnp.ones_like(hx)], axis=-1)  # (4, 3)
 
-    # 1. terrain contact
-    res_terr = (p[:, 2] - h) * c * W.terr
+    # 1. terrain contact (target h + first-stance slack, KnotAux.terr_slack)
+    res_terr = (p[:, 2] - h - aux.terr_slack) * c * W.terr
     J_terr = _lift_p(a_dir * (c * W.terr)[:, None])
 
     # 2. swing clearance shaping
@@ -151,13 +151,13 @@ def knot_system(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
     # R[:,m] on p_i]; hi/lo/posture rows share u up to a gate.
     R, dR = _rot_derivs(th)
     d = jnp.einsum("ji,kj->ki", R, p - r[None, :]) - Solo12.nominal_feet
-    box = jnp.asarray(cfg.rom_box)
-    hi = jnp.maximum(d - box[None, :], 0.0)
-    lo = jnp.maximum(-d - box[None, :], 0.0)
-    # first-stance relaxation (see KnotAux.rom_relax)
-    rom_act = (1.0 - aux.rom_relax)[:, None]
-    res_rom = (jnp.concatenate([hi, lo], axis=-1) * rom_act).reshape(24) * W.rom
-    res_post = (d * rom_act).reshape(12) * W.post_reg
+    # box widened by the start state's overshoot during each foot's first
+    # stance (see KnotAux.box_widen)
+    box = jnp.asarray(cfg.rom_box)[None, :] + aux.box_widen
+    hi = jnp.maximum(d - box, 0.0)
+    lo = jnp.maximum(-d - box, 0.0)
+    res_rom = jnp.concatenate([hi, lo], axis=-1).reshape(24) * W.rom
+    res_post = d.reshape(12) * W.post_reg
 
     # dd/dth: for foot k, component m: sum_a dR[j][a, m] * (p-r)[k, a]
     dd_dth = jnp.einsum("jam,ka->kmj", dR, p - r[None, :])         # (4, 3, 3)
@@ -168,12 +168,23 @@ def knot_system(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
         [u_r, dd_dth, jnp.zeros((4, 3, 6), dt_), u_p, jnp.zeros((4, 3, 12), dt_)],
         axis=-1,
     )                                                              # (4, 3, NV)
-    act_hi = (d - box[None, :] > 0).astype(dt_) * rom_act
-    act_lo = (-d - box[None, :] > 0).astype(dt_) * rom_act
+    act_hi = (d - box > 0).astype(dt_)
+    act_lo = (-d - box > 0).astype(dt_)
     J_hi = (act_hi * W.rom)[..., None] * u
     J_lo = -(act_lo * W.rom)[..., None] * u
     J_rom = jnp.concatenate([J_hi, J_lo], axis=1).reshape(24, NV)  # [hi(3), lo(3)]/foot
-    J_post = (W.post_reg * rom_act[..., None] * u).reshape(12, NV)
+    J_post = (W.post_reg * u).reshape(12, NV)
+
+    # 7b. base clearance hinge: max(h(r_xy) + clearance - r_z, 0) * W.body
+    hb = height_at(terrain, r[0], r[1])
+    hbx, hby = grad_at(terrain, r[0], r[1])
+    gb = hb + cfg.body_clearance - r[2]
+    act_b = (gb > 0.0).astype(dt_)
+    res_body = jnp.maximum(gb, 0.0)[None] * W.body
+    u_body = jnp.concatenate(
+        [jnp.stack([hbx, hby, -jnp.ones_like(hbx)]), jnp.zeros(NV - 3, dt_)]
+    )
+    J_body = (act_b * W.body) * u_body[None, :]
 
     # 8. init
     st = spec.start
@@ -195,10 +206,10 @@ def knot_system(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
     J_goal = (aux.is_last * W.goal) * _P_GOAL
 
     res = jnp.concatenate(
-        [res_terr, res_clear, res_nopen, res_fzero, res_fric, res_rom, res_post, res_init, res_goal]
+        [res_terr, res_clear, res_nopen, res_fzero, res_fric, res_rom, res_post, res_body, res_init, res_goal]
     )
     J = jnp.concatenate(
-        [J_terr, J_clear, J_nopen, J_fzero, J_fric, J_rom, J_post, J_init, J_goal], axis=0
+        [J_terr, J_clear, J_nopen, J_fzero, J_fric, J_rom, J_post, J_body, J_init, J_goal], axis=0
     )
     return res, J
 

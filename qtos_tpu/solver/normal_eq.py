@@ -119,7 +119,7 @@ def knot_normal(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
 
     # --- terrain / clearance / no-penetration: share direction a_dir on p_i --
     mT = c * W.terr
-    res_terr = (p[:, 2] - h) * mT
+    res_terr = (p[:, 2] - h - aux.terr_slack) * mT
     bell = jnp.sin(jnp.pi * aux.swing_prog)
     mC = swing * W.clear
     res_clear = (p[:, 2] - (h + cfg.swing_clearance * bell)) * mC
@@ -170,20 +170,19 @@ def knot_normal(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
     # --- RoM hinges + posture: rank-1 directions u over (r, th, p_i) -------
     R, dR = _rot_derivs(th)
     d = jnp.einsum("ji,kj->ki", R, p - r[None, :]) - Solo12.nominal_feet
-    box = jnp.asarray(cfg.rom_box)
-    # first-stance relaxation (see KnotAux.rom_relax)
-    w_rom = W.rom * (1.0 - aux.rom_relax)[:, None]                 # (4, 1)
-    w_post = W.post_reg * (1.0 - aux.rom_relax)[:, None]
-    hi = jnp.maximum(d - box[None, :], 0.0) * w_rom
-    lo = jnp.maximum(-d - box[None, :], 0.0) * w_rom
-    res_post = d * w_post
+    # box widened by the start state's overshoot during each foot's first
+    # stance (see KnotAux.box_widen)
+    box = jnp.asarray(cfg.rom_box)[None, :] + aux.box_widen
+    hi = jnp.maximum(d - box, 0.0) * W.rom
+    lo = jnp.maximum(-d - box, 0.0) * W.rom
+    res_post = d * W.post_reg
     sq += _sq(hi) + _sq(lo) + _sq(res_post)
 
     dd_dth = jnp.einsum("jam,ka->kmj", dR, p - r[None, :])         # (4, m, 3)
-    act_hi = (d - box[None, :] > 0).astype(dt_) * w_rom
-    act_lo = (-d - box[None, :] > 0).astype(dt_) * w_rom
-    coef_rom = act_hi**2 + act_lo**2 + w_post**2                   # (4, m)
-    gc = act_hi * hi - act_lo * lo + w_post * res_post             # (4, m)
+    act_hi = (d - box > 0).astype(dt_) * W.rom
+    act_lo = (-d - box > 0).astype(dt_) * W.rom
+    coef_rom = act_hi**2 + act_lo**2 + W.post_reg**2               # (4, m)
+    gc = act_hi * hi - act_lo * lo + W.post_reg * res_post         # (4, m)
 
     RR = jnp.einsum("im,am,bm->iab", coef_rom, R, R)               # (4, 3, 3)
     RT = jnp.einsum("im,am,imb->iab", coef_rom, R, dd_dth)
@@ -204,6 +203,17 @@ def knot_normal(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
         gv.add(4 + i, gcoef_p[i] * a_dir[i] + g_p_rom[i])
         G.add(8 + i, 8 + i, mF[i] ** 2 * I3 + FtF[i])
         gv.add(8 + i, mF[i] * res_fzero[i] + gfr[i])
+
+    # --- base clearance hinge: rank-1 on the r group -----------------------
+    hb = height_at(terrain, r[0], r[1])
+    hbx, hby = grad_at(terrain, r[0], r[1])
+    gb = hb + cfg.body_clearance - r[2]
+    act_b = (gb > 0.0).astype(dt_) * W.body
+    res_b = jnp.maximum(gb, 0.0) * W.body
+    u_b = jnp.stack([hbx, hby, -jnp.ones_like(hbx)])               # (3,)
+    G.add(_G_R, _G_R, (act_b**2) * (u_b[:, None] * u_b[None, :]))
+    gv.add(_G_R, act_b * res_b * u_b)
+    sq += _sq(res_b[None])
 
     # --- init (first knot): diagonal on first 8 groups ---------------------
     st = spec.start

@@ -44,21 +44,37 @@ class SolveResult:
     iters: jax.Array         # () iterations run
 
 
-def _aux(spec: ProblemSpec) -> KnotAux:
+def _aux(spec: ProblemSpec, terrain: Terrain, cfg: SolverConfig) -> KnotAux:
+    from qtos_tpu.models.solo12 import Solo12
+    from qtos_tpu.ops.rotations import euler_to_rot
+    from qtos_tpu.terrain.heightfield import height_at
+
     K = spec.num_knots
     idx = jnp.arange(K)
+    # Start-state boundary accommodations, applied while each foot's first
+    # stance phase lasts (contact unbroken since knot 0):
+    #  - box_widen: the start's own out-of-box RoM overshoot;
+    #  - terr_slack: the start's measured hover above the bilinear surface.
+    # See KnotAux for the failure modes these remove.
+    st = spec.start
+    R0 = euler_to_rot(st.eul)
+    d0 = jnp.einsum("ji,kj->ki", R0, st.feet - st.r[None, :]) - Solo12.nominal_feet
+    over = jnp.maximum(jnp.abs(d0) - jnp.asarray(cfg.rom_box)[None, :], 0.0)
+    h0 = height_at(terrain, st.feet[:, 0], st.feet[:, 1])
+    hover0 = jnp.maximum(st.feet[:, 2] - h0, 0.0)
+    first_stance = jnp.cumprod(spec.schedule.contact, axis=0)      # (K, 4)
     return KnotAux(
         contact=spec.schedule.contact,
         swing_prog=spec.schedule.swing_progress,
         is_first=(idx == 0).astype(jnp.float32),
         is_last=(idx == K - 1).astype(jnp.float32),
-        # 1.0 while contact has been unbroken since knot 0 (first stance)
-        rom_relax=jnp.cumprod(spec.schedule.contact, axis=0),
+        terr_slack=first_stance * hover0[None, :],
+        box_widen=first_stance[:, :, None] * over[None, :, :],
     )
 
 
 def _residuals(x, spec, terrain, cfg):
-    aux = _aux(spec)
+    aux = _aux(spec, terrain, cfg)
     kfn = lambda xk, a: knot_residuals(xk, a, spec, terrain, cfg)
     rho_k = jax.vmap(kfn)(x, aux)
     xab = jnp.concatenate([x[:-1], x[1:]], axis=-1)
@@ -77,7 +93,7 @@ def _assemble(x, spec, terrain, cfg):
     space (qtos_tpu.solver.normal_eq) — no dense per-row Jacobian is ever
     materialized.  Equivalence with the dense path (itself pinned to autodiff
     by tests/test_jacobians.py) is pinned by tests/test_normal_eq.py."""
-    aux = _aux(spec)
+    aux = _aux(spec, terrain, cfg)
     D, g, sq_k = jax.vmap(lambda xk, a: knot_normal(xk, a, spec, terrain, cfg))(x, aux)
 
     Daa, Dbb, L, ga, gb, sq_i = jax.vmap(

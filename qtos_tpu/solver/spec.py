@@ -75,6 +75,7 @@ class Weights:
     fric: float = 10.0          # friction pyramid hinge
     rom: float = 25.0           # kinematic box hinge
     clear: float = 15.0         # swing apex shaping
+    body: float = 30.0          # base clearance over terrain under the body
     acc_reg: float = 0.05
     f_reg: float = 0.03
     footvel_reg: float = 0.5
@@ -96,6 +97,12 @@ class SolverConfig:
     lm_min: float = 1e-7
     lm_max: float = 1e3
     swing_clearance: float = 0.06
+    # Minimum base height above the terrain at the CoM footprint: the body
+    # must not pass through obstacles (TOWR lacks this constraint too; its
+    # Docker probe nevertheless rejects pillar crossings because IPOPT's
+    # restoration fails there, while our LM happily plans feet straddling a
+    # 1 m pillar with the belly inside it — observed on exp_8's probe).
+    body_clearance: float = 0.12
     mu_friction: float = 0.7    # reference Dockerfile/TOWR default terrain friction
     f_max: float = 30.0         # N, per-leg normal force cap
     rom_box: tuple = struct.field(pytree_node=False, default=(0.14, 0.08, 0.10))

@@ -42,14 +42,28 @@ class KnotAux(NamedTuple):
     swing_prog: jax.Array     # (4,)
     is_first: jax.Array       # ()
     is_last: jax.Array        # ()
-    # (4,) 1.0 while a foot is still in its FIRST stance phase (contact
-    # unbroken since knot 0).  The RoM box and posture centering are relaxed
-    # there: the start state is a boundary condition, not a choice — a
-    # diverged robot may start with feet OUTSIDE the box, and enforcing the
-    # box against the init/stationarity constraints makes the recovery window
-    # infeasible (measured: init violation 0.06 from a 0.25 m offset start).
-    # Recovery happens at each foot's first touchdown, where the box applies.
-    rom_relax: jax.Array
+    # (4,) per-foot TERRAIN slack applied while the foot is still in its
+    # first stance phase: the start state's measured hover above the bilinear
+    # surface (a foot resting on a bump/ledge edge measures above the surface
+    # at its own xy).  The stance-on-surface target becomes h + slack there,
+    # so init/stationarity and the terrain constraint stop fighting over the
+    # start hover (measured: init 0.07 / terrain 0.052 replan deadlocks on
+    # exp_4's rough terrain); the target snaps back to h after the foot's
+    # first swing.
+    terr_slack: jax.Array
+    # (4, 3) per-foot RoM-box widening applied while the foot is still in its
+    # FIRST stance phase (contact unbroken since knot 0): exactly the amount
+    # by which the START state's feet sit outside the box, zero otherwise.
+    # The start is a boundary condition, not a choice — a diverged robot may
+    # begin with feet outside the box, and enforcing the box against the
+    # init/stationarity constraints makes the recovery window infeasible
+    # (measured: init violation 0.06 from a 0.25 m offset start).  Widening
+    # by the measured overshoot admits the start while still constraining
+    # everything beyond it (a plain weight-zeroing relaxation let the solver
+    # park the base anywhere during the walk gait's long first stance and
+    # broke its tracking).  Recovery lands at each foot's first touchdown,
+    # where the box snaps back to nominal.
+    box_widen: jax.Array
 
 
 def _components(xk):
@@ -85,8 +99,9 @@ def knot_residuals(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: S
 
     h = height_at(terrain, p[:, 0], p[:, 1])
 
-    # stance feet on the surface (terrain-ee-motion analog)
-    res_terr = (p[:, 2] - h) * c * W.terr
+    # stance feet on the surface (terrain-ee-motion analog); the target is
+    # h + terr_slack during each foot's first stance (see KnotAux.terr_slack)
+    res_terr = (p[:, 2] - h - aux.terr_slack) * c * W.terr
 
     # swing feet: shape toward a clearance bell, never below the surface
     bell = jnp.sin(jnp.pi * aux.swing_prog)
@@ -113,21 +128,26 @@ def knot_residuals(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: S
     ) * c[:, None] * W.fric
 
     # kinematic range-of-motion box in base frame (rangeofmotion analog);
-    # relaxed during each foot's first stance phase (see KnotAux.rom_relax)
+    # widened during each foot's first stance phase by the start state's own
+    # overshoot (see KnotAux.box_widen)
     R = euler_to_rot(th)
     p_base = jnp.einsum("ji,kj->ki", R, p - r[None, :])
     d = p_base - Solo12.nominal_feet
-    box = jnp.asarray(cfg.rom_box)
-    active = (1.0 - aux.rom_relax)[:, None]
-    res_rom = (
-        jnp.concatenate(
-            [jnp.maximum(d - box[None, :], 0.0), jnp.maximum(-d - box[None, :], 0.0)],
-            axis=-1,
-        ) * active
+    box = jnp.asarray(cfg.rom_box)[None, :] + aux.box_widen
+    res_rom = jnp.concatenate(
+        [jnp.maximum(d - box, 0.0), jnp.maximum(-d - box, 0.0)],
+        axis=-1,
     ).reshape(24) * W.rom
 
-    # soft posture centering (same first-stance relaxation)
-    res_post = (d * active).reshape(12) * W.post_reg
+    # soft posture centering
+    res_post = d.reshape(12) * W.post_reg
+
+    # base clearance: the body must stay above the terrain under the CoM —
+    # without this the NLP threads the belly through obstacles the feet can
+    # straddle (exp_8's 1 m pillars probed "feasible"), because no other
+    # constraint couples base height to terrain between the footholds
+    h_body = height_at(terrain, r[0], r[1])
+    res_body = jnp.maximum(h_body + cfg.body_clearance - r[2], 0.0)[None] * W.body
 
     # boundary conditions
     st = spec.start
@@ -160,6 +180,7 @@ def knot_residuals(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: S
             res_fric.reshape(24),
             res_rom,
             res_post,
+            res_body,
             res_init,
             res_goal,
         ]
@@ -223,7 +244,12 @@ def violations(x, spec: ProblemSpec, terrain: Terrain, cfg: SolverConfig):
     stat = jnp.abs(p[1:] - p[:-1]) * both[..., None]
 
     h = height_at(terrain, p[..., 0], p[..., 1])
-    terr = jnp.abs(p[..., 2] - h) * c
+    # first-stance terrain slack mirrors the residuals (KnotAux.terr_slack):
+    # a start-state hover held through the first stance is not a violation
+    h0 = height_at(terrain, spec.start.feet[:, 0], spec.start.feet[:, 1])
+    hover0 = jnp.maximum(spec.start.feet[:, 2] - h0, 0.0)
+    slack = jnp.cumprod(c, axis=0) * hover0[None, :]
+    terr = jnp.abs(p[..., 2] - h - slack) * c
 
     mu_t = cfg.mu_friction / jnp.sqrt(2.0)
     fric = jnp.maximum(
@@ -231,6 +257,9 @@ def violations(x, spec: ProblemSpec, terrain: Terrain, cfg: SolverConfig):
     ) * c
     funi = jnp.maximum(-f[..., 2], 0.0) * c
     fswing = jnp.abs(f) * (1.0 - c[..., None])
+
+    h_body = height_at(terrain, r[:, 0], r[:, 1])
+    body = jnp.maximum(h_body + cfg.body_clearance - r[:, 2], 0.0)
 
     st = spec.start
     init = jnp.max(
@@ -252,6 +281,7 @@ def violations(x, spec: ProblemSpec, terrain: Terrain, cfg: SolverConfig):
         terrain=jnp.max(terr),
         friction=jnp.max(fric) + jnp.max(funi),
         swing_force=jnp.max(fswing),
+        body=jnp.max(body),
         init=init,
         goal=goal,
     )

@@ -94,9 +94,12 @@ def main(argv=None):
         # sim take terrain as data, so the world changes without recompiling
         from qtos_tpu.terrain.heightfield import add_box_obstacle
 
+        # Spawn cadence: ~1 m of reaction distance ahead of the robot, like
+        # the reference's fixed (1.0 + idx, 0) spawn line (QTOS/simulation.py:
+        # 102-115) — a box dropped nearly underfoot is a crash in any stack.
         def terrain_update(window, terr):
             if window in (2, 4):
-                x = 1.5 + 1.0 * (window // 2 - 1)
+                x = 2.0 + 1.0 * (window // 2 - 1)
                 print(f"[dynamic terrain] spawning obstacle at x={x:.1f}")
                 return add_box_obstacle(terr, x, 0.0)
             return terr

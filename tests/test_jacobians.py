@@ -34,7 +34,8 @@ def test_knot_system_matches_autodiff():
         swing_prog=spec.schedule.swing_progress,
         is_first=(jnp.arange(17) == 0).astype(jnp.float32),
         is_last=(jnp.arange(17) == 16).astype(jnp.float32),
-        rom_relax=jnp.cumprod(spec.schedule.contact, axis=0),
+        terr_slack=jnp.zeros((17, 4)),
+        box_widen=jnp.zeros((17, 4, 3)),
     )
     kfn = lambda xk, a: knot_residuals(xk, a, spec, TERR, CFG)
     for k in [0, 3, 8, 16]:

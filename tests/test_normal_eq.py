@@ -32,7 +32,7 @@ def problem():
 
 def test_knot_normal_matches_dense(problem):
     terrain, cfg, spec, x = problem
-    aux = _aux(spec)
+    aux = _aux(spec, terrain, cfg)
 
     rho, J = jax.vmap(lambda xk, a: knot_system(xk, a, spec, terrain, cfg))(x, aux)
     D_ref = jnp.einsum("kmi,kmj->kij", J, J)
