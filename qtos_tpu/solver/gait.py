@@ -6,9 +6,13 @@ which forces one NLP shape per schedule.  Here a schedule is a pair of dense
 (K, 4) arrays — contact mask and swing progress — so scenarios with different
 gaits share one compiled solver.
 
-Leg order [FL, FR, HL, HR]; default trot phase offsets [0.5, 0, 0, 0.5] and
-50% duty from the reference robot config (data/config/solo12.yml
-``offsets`` / ``trot_2_stance_ratio``).
+Leg order [FL, FR, HL, HR]; default trot phase offsets [0.5, 0, 0, 0.5] from
+the reference robot config (data/config/solo12.yml ``offsets`` /
+``trot_2_stance_ratio``).  The default duty deliberately deviates from the
+reference's 50%: 0.6 gives a walking trot whose brief four-foot overlap
+phases arrest the lateral drift the pure two-foot trot integrates (measured
+on the 5.6 m flat course — see `trot_schedule`), and give the stitch-row
+search all-feet-in-contact rows every half period.
 """
 
 from __future__ import annotations

@@ -135,7 +135,7 @@ def solve(
             g_b = jnp.where(accept, g, g_b)
             merit_b = jnp.where(accept, merit, merit_b)
             lm = jnp.clip(
-                jnp.where(accept, lm * 0.4, lm * 4.0), cfg.lm_min, cfg.lm_max
+                jnp.where(accept, lm * cfg.lm_down, lm * cfg.lm_up), cfg.lm_min, cfg.lm_max
             )
             diag = jnp.diagonal(D_b, axis1=-2, axis2=-1)
             damp = lm * diag[..., None] * eyes[0][None] + 1e-8 * eyes
@@ -154,13 +154,23 @@ def solve(
             body,
             (x0, x0, *zeros_sys, jnp.asarray(jnp.inf), jnp.asarray(cfg.lm_init)),
         )
-        # last trial point may be better than the last accepted one
-        merit_trial = _merit(x_trial, spec, terrain, cfg)
-        x = jnp.where(merit_trial < merit, x_trial, x)
-        merit = jnp.minimum(merit_trial, merit)
-
-        viol = violations(x, spec, terrain, cfg)
-        max_v = jnp.max(jnp.stack([viol[k] for k in sorted(viol)]))
+        # Final selection between the best ACCEPTED point and the last trial
+        # point is by max constraint VIOLATION, not merit: merit trades the
+        # constraint families against goal/regularization terms, so at low
+        # damping a lower-merit iterate can carry a higher dynamics defect
+        # (measured: 512/512 converged at 6 LM iters dropping to 362/512 at 8
+        # under merit selection — violation selection restores monotonicity).
+        viol_b = violations(x, spec, terrain, cfg)
+        viol_t = violations(x_trial, spec, terrain, cfg)
+        mv_b = jnp.max(jnp.stack([viol_b[k] for k in sorted(viol_b)]))
+        mv_t = jnp.max(jnp.stack([viol_t[k] for k in sorted(viol_t)]))
+        take_t = mv_t < mv_b
+        x = jnp.where(take_t, x_trial, x)
+        viol = jax.tree_util.tree_map(
+            lambda b, t: jnp.where(take_t, t, b), viol_b, viol_t
+        )
+        max_v = jnp.minimum(mv_b, mv_t)
+        merit = jnp.where(take_t, _merit(x_trial, spec, terrain, cfg), merit)
         status = jnp.where(max_v < cfg.tol, STATUS_CONVERGED, STATUS_MAX_ITERS).astype(
             jnp.int32
         )
@@ -229,7 +239,7 @@ def _solve_batch_lanes(
             g_b = jnp.where(a3, g, g_b)
             merit_b = jnp.where(accept, merit, merit_b)
             lm = jnp.clip(
-                jnp.where(accept, lm * 0.4, lm * 4.0), cfg.lm_min, cfg.lm_max
+                jnp.where(accept, lm * cfg.lm_down, lm * cfg.lm_up), cfg.lm_min, cfg.lm_max
             )
             diag = jnp.transpose(jnp.diagonal(D_b, axis1=1, axis2=2), (0, 2, 1))
             dmat = lm[None, None, :] * diag + 1e-8                 # (K, NV, B)
@@ -249,15 +259,25 @@ def _solve_batch_lanes(
             (xT, xT, *zeros_sys, jnp.full((B,), jnp.inf, xT.dtype),
              jnp.full((B,), cfg.lm_init, xT.dtype)),
         )
-        # last trial point may be better than the last accepted one
-        merit_trial = asm(x_trial)[3]
-        accept = merit_trial < merit_b
-        xT_final = jnp.where(accept[None, None, :], x_trial, x_best)
-        merit = jnp.minimum(merit_trial, merit_b)
-
-        x = jnp.transpose(xT_final, (2, 1, 0))                     # (B, K, NV)
-        viol = jax.vmap(lambda xx, s: violations(xx, s, terrain, cfg))(x, specs)
-        max_v = jnp.max(jnp.stack([viol[k] for k in sorted(viol)], axis=-1), axis=-1)
+        # Final selection between best accepted point and last trial is by
+        # max constraint VIOLATION (see `solve` for the rationale and the
+        # measured monotonicity failure of merit selection).  This also drops
+        # the full normal-equation assembly the old merit-only comparison
+        # paid on the trial point — violations are residual-only.
+        xb = jnp.transpose(x_best, (2, 1, 0))                      # (B, K, NV)
+        xt = jnp.transpose(x_trial, (2, 1, 0))
+        viol_fn = jax.vmap(lambda xx, s: violations(xx, s, terrain, cfg))
+        viol_b = viol_fn(xb, specs)
+        viol_t = viol_fn(xt, specs)
+        mv_b = jnp.max(jnp.stack([viol_b[k] for k in sorted(viol_b)], -1), -1)
+        mv_t = jnp.max(jnp.stack([viol_t[k] for k in sorted(viol_t)], -1), -1)
+        take_t = mv_t < mv_b                                       # (B,)
+        x = jnp.where(take_t[:, None, None], xt, xb)
+        viol = jax.tree_util.tree_map(
+            lambda b, t: jnp.where(take_t, t, b), viol_b, viol_t
+        )
+        max_v = jnp.minimum(mv_b, mv_t)
+        merit = jax.vmap(lambda xx, s: _merit(xx, s, terrain, cfg))(x, specs)
         status = jnp.where(max_v < cfg.tol, STATUS_CONVERGED, STATUS_MAX_ITERS).astype(
             jnp.int32
         )
@@ -321,7 +341,15 @@ def solve_batch(
     if bad.size == 0:
         return res
     B = res.x.shape[0]
-    cap = min(B, max(B // max(cfg.rescue_frac, 1), min(B, 128)))
+    # Floor from rescue_frac (the expected-tail budget), but grow to cover
+    # the ACTUAL failure mass: a pass-1 regression must degrade to "slower"
+    # (bigger rescue), never to "mostly-unconverged results" (round-4
+    # postmortem: a B/8 cap could not absorb a 79% failure rate).  Cap sizes
+    # are bucketed to powers of two on 128-lane groups so at most
+    # log2(B/128)+1 rescue executables are ever compiled.
+    floor = max(B // max(cfg.rescue_frac, 1), min(B, 128))
+    cap = max(floor, int(bad.size))
+    cap = min(B, 128 * (1 << max(0, (cap + 127) // 128 - 1).bit_length()))
     idx = np.full(cap, B, np.int32)
     idx[: min(bad.size, cap)] = bad[:cap]
 

@@ -96,6 +96,17 @@ class SolverConfig:
     lm_init: float = 1e-4
     lm_min: float = 1e-7
     lm_max: float = 1e3
+    # Accept/reject damping schedule.  IPOPT adapts its barrier parameter
+    # per iteration (logs/towr_log.out:44-82); the LM analog is how fast the
+    # damping relaxes on accepted steps (lm_down) and backs off on rejected
+    # ones (lm_up).  Measured on the bench distribution (plane, duty-0.6
+    # trot, K=41): the old 0.4/4.0 schedule collapses the damping so fast
+    # that iterations 3-5 are spent in reject/back-off cycles (48/512
+    # converged at 4 iters); 0.75/2.0 keeps steps accepted and converges
+    # 512/512 at 3 iters with dynamics p90 ~8e-4, and stays converged
+    # through 30 iters.
+    lm_down: float = 0.75
+    lm_up: float = 2.0
     swing_clearance: float = 0.06
     # Minimum base height above the terrain at the CoM footprint: the body
     # must not pass through obstacles (TOWR lacks this constraint too; its

@@ -86,7 +86,7 @@ def sub_profile():
     jax.block_until_ready(x0)
 
     def knots_only(x, spec):
-        aux = _aux(spec)
+        aux = _aux(spec, terrain, cfg)
         return jax.vmap(lambda xk, a: knot_system(xk, a, spec, terrain, cfg))(x, aux)
 
     def ints_only(x, spec):
