@@ -24,6 +24,19 @@ class ExperimentConfig:
     gait: str = "trot"              # key into solver.gait.GAIT_REGISTRY
     dynamic_terrain: bool = False   # exp_8: spawn obstacles mid-run
     sim_steps: int = 31000          # reference SIM_STEPS
+    # Swing apex clearance [m] fed into the window solver.  The flat/gentle
+    # presets keep the default 0.06; the stair presets need 0.14: a sharp
+    # 0.11 m riser spans one heightfield cell, and at 0.06 the swing toe
+    # clips the riser face (measured on the exp_6 crossing window: err/s 231
+    # and a 0.47 m stall at 0.06 vs err/s 73 and -0.11 m at 0.14).
+    swing_clearance: float = 0.06
+    # Terrain-aware pacing gain (RunnerConfig.rough_pace): window advance is
+    # scaled down by the upcoming segment's height span.  Off by default
+    # (it regressed exp_2's gentle bands); the stair presets need it — the
+    # 0.11 m riser is crossed reliably at ~half-length windows (measured:
+    # pace 8 reaches the plateau with one reset; unpaced bounces off the
+    # riser and falls within 4 windows).
+    rough_pace: float = 0.0
     description: str = ""
 
 
@@ -60,7 +73,7 @@ EXPERIMENTS: dict[str, ExperimentConfig] = {
     # the reference likewise tunes solver duration/speed per experiment YAML.
     "exp_6": ExperimentConfig(
         "exp_6", ("stair", "stair_1", "stair_1", "plane"), (5.5, 0.0),
-        mesh_scale=2, sim_steps=21000, avg_speed=0.15,
+        mesh_scale=2, sim_steps=21000, avg_speed=0.15, rough_pace=8.0,
         description="staircases",
     ),
     # reference: experiment_7_climb_obstacle.yml (stairs, bridge).  Slow pace:
@@ -68,7 +81,7 @@ EXPERIMENTS: dict[str, ExperimentConfig] = {
     # the A* approach path bends between the stair bands.
     "exp_7": ExperimentConfig(
         "exp_7", ("stair", "bridge"), (2.4, 0.0), mesh_scale=2,
-        sim_steps=33000, avg_speed=0.15,
+        sim_steps=33000, avg_speed=0.15, rough_pace=8.0,
         description="climb onto a bridge obstacle",
     ),
     # reference: experiment_8_dynamic_terrain.yml (plane, obstacle, plane)

@@ -116,6 +116,16 @@ class RunnerConfig:
     # approach, exp_8 spawn bypass, the routing test) was a sharp spine
     # curve executed at full speed; straight segments are unaffected.
     turn_pace: float = 1.2
+    # Terrain-adaptive swing clearance: windows whose upcoming path segment
+    # spans more than rough_span_thresh of height solve with
+    # rough_clearance as the swing apex instead of solver.swing_clearance.
+    # Both matter: at 0.06 the toe clips exp_6's sharp 0.11 m riser (stall,
+    # then fall), while a GLOBAL 0.14 destabilizes flat-ground windows (the
+    # higher swing pumps lateral momentum — measured: exp_6 veered 1.07 m
+    # sideways and fell on the flat approach).  0 disables.  Two clearance
+    # values mean at most two compiled solver variants.
+    rough_clearance: float = 0.0
+    rough_span_thresh: float = 0.06
     # Warm-starting candidate windows from the shifted previous solution is
     # available but off by default: the fresh schedule-aware guess aligns gait
     # phases with the new window's head stance, which empirically tracks better.
@@ -443,15 +453,20 @@ class RecedingHorizonRunner:
                                   c.window_duration, sched),
                 )
             )(rows)
+        scfg = c.solver
+        if c.rough_clearance > 0:
+            t_sp = self.planner.time_at_position(row_xy[0])
+            if self.planner.height_span(t_sp, c.window_duration) > c.rough_span_thresh:
+                scfg = scfg.replace(swing_clearance=c.rough_clearance)
         res, tables, contacts = plan_windows_batch(
             rows, goals, gyaws, self.terrain, c, t0s=jnp.asarray(t_paths),
-            x0=x0, drift3=drift3, dyaw=dyaw_j,
+            x0=x0, drift3=drift3, dyaw=dyaw_j, solver_cfg=scfg,
         )
         seg_shift = self._row_shift[ats[0]] + d
         return dict(ats=ats, rows=rows, t_paths=t_paths, goals=goals,
                     gyaws=gyaws, finals=finals, res=res, tables=tables,
                     contacts=contacts, drift3=drift3, dyaw=dyaw_j,
-                    seg_shift=seg_shift)
+                    seg_shift=seg_shift, scfg=scfg)
 
     def _plan_finish(self, p: dict):
         """Select a candidate from a dispatched plan; escalate / fall back to
@@ -469,7 +484,10 @@ class RecedingHorizonRunner:
         sel = self._select(status, viol)
         if sel is None:
             # escalation: warm-started extra iterations on all candidates
-            cfg2 = c.solver.replace(max_iters=c.escalate_iters, rescue_iters=0)
+            # (same clearance variant the dispatch chose)
+            cfg2 = p.get("scfg", c.solver).replace(
+                max_iters=c.escalate_iters, rescue_iters=0
+            )
             res, tables, contacts = plan_windows_batch(
                 p["rows"], p["goals"], p["gyaws"], self.terrain, c,
                 t0s=jnp.asarray(p["t_paths"]), x0=res.x, solver_cfg=cfg2,

@@ -9,15 +9,15 @@ multi-host story was "run more Docker containers"; SURVEY.md §5.8.)
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from qtos_tpu.parallel.mesh import SCENARIO_AXIS
-from qtos_tpu.solver.solve import solve
-from qtos_tpu.solver.spec import SolverConfig
-from qtos_tpu.terrain.heightfield import Terrain
+
+# Solver imports are deferred (see qtos_tpu.parallel.mesh): this module must
+# be importable before the XLA backend initialises so initialize_multihost
+# can run first on each host of a cluster.
 
 
 def initialize_multihost(coordinator: str | None = None, num_processes: int | None = None,
@@ -42,7 +42,7 @@ def global_scenario_mesh(axis: str = SCENARIO_AXIS) -> Mesh:
     return Mesh(np.array(jax.devices()), (axis,))
 
 
-def solve_batch_collective(specs, terrain: Terrain, cfg: SolverConfig, mesh: Mesh):
+def solve_batch_collective(specs, terrain, cfg, mesh: Mesh):
     """shard_map-batched solve with an explicit all_gather of statuses.
 
     Demonstrates the framework's collective pattern: per-shard solves run
@@ -50,6 +50,8 @@ def solve_batch_collective(specs, terrain: Terrain, cfg: SolverConfig, mesh: Mes
     vector is all-gathered over ICI/DCN so every host can stamp the full
     feasibility map locally — the distributed version of the reference's
     multiprocessing.Array merge (generateHeightField.py:210-213)."""
+
+    from qtos_tpu.solver.solve import solve
 
     def shard_fn(local_specs):
         res = jax.vmap(lambda s: solve(s, terrain, cfg))(local_specs)

@@ -3,13 +3,14 @@
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from qtos_tpu.solver.solve import solve_batch
-from qtos_tpu.solver.spec import SolverConfig
-from qtos_tpu.terrain.heightfield import Terrain
+# NOTE: solver/terrain imports are deferred into the functions that need
+# them: those modules build jnp constants at import time, which initialises
+# the XLA backend — and `jax.distributed.initialize` (see
+# qtos_tpu.parallel.distributed.initialize_multihost) must run BEFORE any
+# backend init on a multi-host cluster.
 
 SCENARIO_AXIS = "scenario"
 
@@ -32,19 +33,21 @@ def shard_batch(specs, mesh: Mesh, axis: str = SCENARIO_AXIS):
     return jax.tree.map(place, specs)
 
 
-def solve_batch_sharded(specs, terrain: Terrain, cfg: SolverConfig, mesh: Mesh):
+def solve_batch_sharded(specs, terrain, cfg, mesh: Mesh):
     """Batched solve with scenarios sharded over the mesh.
 
     XLA partitions the whole Gauss-Newton iteration along the batch axis —
     zero collectives in the hot loop (scenarios are independent), which is
     the ideal mapping; the reference paid process + Docker-exec + CSV
     overhead per scenario instead (SURVEY.md §3.4)."""
+    from qtos_tpu.solver.solve import solve_batch
+
     specs = shard_batch(specs, mesh)
     terrain = jax.device_put(terrain, NamedSharding(mesh, P()))  # replicated
     return solve_batch(specs, terrain, cfg)
 
 
-def feasibility_statuses_sharded(specs, terrain: Terrain, cfg: SolverConfig, mesh: Mesh):
+def feasibility_statuses_sharded(specs, terrain, cfg, mesh: Mesh):
     """Sharded feasibility probe: statuses gathered to host for map stamping
     (the all-gather replacing the reference's multiprocessing.Array + Lock
     merge — generateHeightField.py:210-213, 388-394)."""

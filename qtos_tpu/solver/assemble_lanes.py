@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from qtos_tpu.models.solo12 import Solo12
 from qtos_tpu.solver.spec import FORCE_SCALE, NV, SolverConfig
-from qtos_tpu.terrain.heightfield import Terrain, grad_at, height_at
+from qtos_tpu.terrain.heightfield import Terrain, grad_at, height_at, slope_grad_at
 
 _GRAV_Z = -9.81
 _G_R, _G_TH, _G_V, _G_W = 0, 1, 2, 3  # block-group ids; p_i = 4+i, f_i = 8+i
@@ -345,12 +345,22 @@ def knot_normal_lanes(xT, ls, terrain: Terrain, cfg: SolverConfig):
     gv.add(_G_TH, jnp.sum(jnp.sum(gc[:, :, None] * dd, axis=1), axis=0))
     g_p_rom = sum(gc[:, m, None] * Rm[m][None] for m in range(3))  # (4, 3, K, N)
 
+    # --- foothold slope hinge: rank-1 on each p_i (xy only) ----------------
+    sl, slx, sly = slope_grad_at(terrain, p[:, 0], p[:, 1], cfg.slope_probe_d)
+    w_sl = c * (1.0 - first_stance) * W.slope                       # (4, K, N)
+    m_sl = (sl - cfg.slope_margin > 0.0).astype(dt_) * w_sl
+    res_sl = jnp.maximum(sl - cfg.slope_margin, 0.0) * w_sl
+    u_sl = jnp.stack([slx, sly, jnp.zeros_like(slx)], axis=1)       # (4, 3, K, N)
+    S_blk = (m_sl**2)[:, None, None] * (u_sl[:, :, None] * u_sl[:, None, :])
+    g_sl = (m_sl * res_sl)[:, None] * u_sl                          # (4, 3, K, N)
+    sq += _sq(res_sl)
+
     A = a_dir[:, :, None] * a_dir[:, None, :]                      # (4, 3, 3, K, N)
     for i in range(4):
-        G.add(4 + i, 4 + i, coef_p[i][None, None] * A[i] + RR[i])
+        G.add(4 + i, 4 + i, coef_p[i][None, None] * A[i] + RR[i] + S_blk[i])
         G.add_sym(_G_R, 4 + i, -RR[i])
         G.add_sym(_G_TH, 4 + i, TP[i])
-        gv.add(4 + i, gcoef_p[i][None] * a_dir[i] + g_p_rom[i])
+        gv.add(4 + i, gcoef_p[i][None] * a_dir[i] + g_p_rom[i] + g_sl[i])
         G.add(8 + i, 8 + i, (mF[i] ** 2)[None, None] * I3 + FtF[i])
         gv.add(8 + i, mF[i][None] * res_fzero[i] + gfr[i])
 

@@ -29,7 +29,7 @@ from qtos_tpu.models.solo12 import Solo12
 from qtos_tpu.ops.rotations import euler_rate_matrix_inv, euler_to_rot, omega_to_euler_rate, rx, ry, rz, skew
 from qtos_tpu.solver.spec import FORCE_SCALE, NV, ProblemSpec, SolverConfig, unpack_state
 from qtos_tpu.solver.transcription import GRAVITY, KnotAux
-from qtos_tpu.terrain.heightfield import Terrain, grad_at, height_at
+from qtos_tpu.terrain.heightfield import Terrain, grad_at, height_at, slope_grad_at
 
 # column offsets in the per-knot state vector
 C_R, C_TH, C_V, C_W, C_P, C_F = 0, 3, 6, 9, 12, 24
@@ -175,6 +175,15 @@ def knot_system(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
     J_rom = jnp.concatenate([J_hi, J_lo], axis=1).reshape(24, NV)  # [hi(3), lo(3)]/foot
     J_post = (W.post_reg * u).reshape(12, NV)
 
+    # foothold slope hinge (1 row/foot, p_i xy columns only; first-stance
+    # feet exempt — they are boundary conditions, see KnotAux.first_stance)
+    sl, slx, sly = slope_grad_at(terrain, p[:, 0], p[:, 1], cfg.slope_probe_d)
+    act_sl = (sl - cfg.slope_margin > 0.0).astype(dt_)
+    m_slope = c * (1.0 - aux.first_stance) * W.slope
+    res_slope = jnp.maximum(sl - cfg.slope_margin, 0.0) * m_slope
+    u_sl = jnp.stack([slx, sly, jnp.zeros_like(slx)], axis=-1)     # (4, 3)
+    J_slope = _lift_p(u_sl * (act_sl * m_slope)[:, None])
+
     # 7b. base clearance hinge: max(h(r_xy) + clearance - r_z, 0) * W.body
     hb = height_at(terrain, r[0], r[1])
     hbx, hby = grad_at(terrain, r[0], r[1])
@@ -206,10 +215,10 @@ def knot_system(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
     J_goal = (aux.is_last * W.goal) * _P_GOAL
 
     res = jnp.concatenate(
-        [res_terr, res_clear, res_nopen, res_fzero, res_fric, res_rom, res_post, res_body, res_init, res_goal]
+        [res_terr, res_clear, res_nopen, res_fzero, res_fric, res_rom, res_post, res_slope, res_body, res_init, res_goal]
     )
     J = jnp.concatenate(
-        [J_terr, J_clear, J_nopen, J_fzero, J_fric, J_rom, J_post, J_body, J_init, J_goal], axis=0
+        [J_terr, J_clear, J_nopen, J_fzero, J_fric, J_rom, J_post, J_slope, J_body, J_init, J_goal], axis=0
     )
     return res, J
 

@@ -35,7 +35,7 @@ from qtos_tpu.ops.rotations import euler_rate_matrix_inv, omega_to_euler_rate
 from qtos_tpu.solver.jacobians import _rot_derivs, _wdot_and_derivs
 from qtos_tpu.solver.spec import FORCE_SCALE, NV, ProblemSpec, SolverConfig, unpack_state
 from qtos_tpu.solver.transcription import GRAVITY, KnotAux
-from qtos_tpu.terrain.heightfield import Terrain, grad_at, height_at
+from qtos_tpu.terrain.heightfield import Terrain, grad_at, height_at, slope_grad_at
 
 C_F = 24
 _G_R, _G_TH, _G_V, _G_W = 0, 1, 2, 3  # block-group ids; p_i = 4+i, f_i = 8+i
@@ -196,11 +196,21 @@ def knot_normal(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: Solv
     gv.add(_G_TH, jnp.einsum("im,ima->a", gc, dd_dth))
     g_p_rom = jnp.einsum("im,am->ia", gc, R)                       # (4, 3)
 
+    # --- foothold slope hinge: rank-1 on each p_i (xy only) ----------------
+    sl, slx, sly = slope_grad_at(terrain, p[:, 0], p[:, 1], cfg.slope_probe_d)
+    w_sl = c * (1.0 - aux.first_stance) * W.slope
+    m_sl = (sl - cfg.slope_margin > 0.0).astype(dt_) * w_sl
+    res_sl = jnp.maximum(sl - cfg.slope_margin, 0.0) * w_sl
+    u_sl = jnp.stack([slx, sly, jnp.zeros_like(slx)], axis=-1)     # (4, 3)
+    S_blk = (m_sl**2)[:, None, None] * (u_sl[:, :, None] * u_sl[:, None, :])
+    g_sl = (m_sl * res_sl)[:, None] * u_sl
+    sq += _sq(res_sl)
+
     for i in range(4):
-        G.add(4 + i, 4 + i, coef_p[i] * A[i] + RR[i])
+        G.add(4 + i, 4 + i, coef_p[i] * A[i] + RR[i] + S_blk[i])
         G.add_sym(_G_R, 4 + i, -RR[i])
         G.add_sym(_G_TH, 4 + i, TP[i])
-        gv.add(4 + i, gcoef_p[i] * a_dir[i] + g_p_rom[i])
+        gv.add(4 + i, gcoef_p[i] * a_dir[i] + g_p_rom[i] + g_sl[i])
         G.add(8 + i, 8 + i, mF[i] ** 2 * I3 + FtF[i])
         gv.add(8 + i, mF[i] * res_fzero[i] + gfr[i])
 

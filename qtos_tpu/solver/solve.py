@@ -70,6 +70,7 @@ def _aux(spec: ProblemSpec, terrain: Terrain, cfg: SolverConfig) -> KnotAux:
         is_last=(idx == K - 1).astype(jnp.float32),
         terr_slack=first_stance * hover0[None, :],
         box_widen=first_stance[:, :, None] * over[None, :, :],
+        first_stance=first_stance,
     )
 
 
@@ -277,7 +278,10 @@ def _solve_batch_lanes(
             lambda b, t: jnp.where(take_t, t, b), viol_b, viol_t
         )
         max_v = jnp.minimum(mv_b, mv_t)
-        merit = jax.vmap(lambda xx, s: _merit(xx, s, terrain, cfg))(x, specs)
+        # merit is diagnostics-only (utils/profiling.py): report the best
+        # ACCEPTED merit rather than paying a full residual pass to price
+        # the trial point exactly (~6% of bench wall time at B=8192)
+        merit = merit_b
         status = jnp.where(max_v < cfg.tol, STATUS_CONVERGED, STATUS_MAX_ITERS).astype(
             jnp.int32
         )

@@ -80,6 +80,7 @@ class Weights:
     f_reg: float = 0.03
     footvel_reg: float = 0.5
     post_reg: float = 0.15      # keep feet near nominal under base
+    slope: float = 6.0          # stance feet off steep terrain (riser edges)
 
 
 @struct.dataclass
@@ -115,6 +116,17 @@ class SolverConfig:
     # 1 m pillar with the belly inside it — observed on exp_8's probe).
     body_clearance: float = 0.12
     mu_friction: float = 0.7    # reference Dockerfile/TOWR default terrain friction
+    # Foothold slope hinge: stance feet are pushed off terrain steeper than
+    # slope_margin, probed with half-width slope_probe_d (see
+    # terrain.heightfield.slope_at).  TOWR has no such term and IPOPT happily
+    # plants feet mid-riser on a one-cell step face; in this stack those
+    # footholds exceed the friction cone in the soft-contact sim (45 deg
+    # ramp vs mu=0.7 -> 35 deg) and the foot slips, stalling the climb
+    # (measured on exp_6's 0.11 m riser).  The margin sits just below the
+    # friction-cone angle so walkable ramps (exp_2's 32 deg bands) are
+    # untouched.
+    slope_margin: float = 0.7
+    slope_probe_d: float = 0.06
     f_max: float = 30.0         # N, per-leg normal force cap
     rom_box: tuple = struct.field(pytree_node=False, default=(0.14, 0.08, 0.10))
     weights: Weights = struct.field(default_factory=Weights)

@@ -32,7 +32,7 @@ from qtos_tpu.solver.spec import (
     SolverConfig,
     unpack_state,
 )
-from qtos_tpu.terrain.heightfield import Terrain, height_at
+from qtos_tpu.terrain.heightfield import Terrain, height_at, slope_at
 
 GRAVITY = jnp.array([0.0, 0.0, -9.81])
 
@@ -64,6 +64,13 @@ class KnotAux(NamedTuple):
     # broke its tracking).  Recovery lands at each foot's first touchdown,
     # where the box snaps back to nominal.
     box_widen: jax.Array
+    # (4,) 1.0 while the foot is still in its FIRST stance phase (contact
+    # unbroken since knot 0).  The slope hinge is gated off during it: the
+    # start state's footholds are boundary conditions, and pushing a foot
+    # that BEGINS on an edge cell off the edge fights the init constraint
+    # (measured: descent windows starting 0.2 m before exp_6's drop-off
+    # plateau at viol 0.005-0.011, status 1).
+    first_stance: jax.Array
 
 
 def _components(xk):
@@ -142,6 +149,13 @@ def knot_residuals(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: S
     # soft posture centering
     res_post = d.reshape(12) * W.post_reg
 
+    # foothold slope hinge: stance feet off terrain steeper than the
+    # friction cone supports (see SolverConfig.slope_margin); gated off
+    # during each foot's first stance (start feet are boundary conditions)
+    sl = slope_at(terrain, p[:, 0], p[:, 1], cfg.slope_probe_d)
+    res_slope = (jnp.maximum(sl - cfg.slope_margin, 0.0)
+                 * c * (1.0 - aux.first_stance) * W.slope)
+
     # base clearance: the body must stay above the terrain under the CoM —
     # without this the NLP threads the belly through obstacles the feet can
     # straddle (exp_8's 1 m pillars probed "feasible"), because no other
@@ -180,6 +194,7 @@ def knot_residuals(xk, aux: KnotAux, spec: ProblemSpec, terrain: Terrain, cfg: S
             res_fric.reshape(24),
             res_rom,
             res_post,
+            res_slope,
             res_body,
             res_init,
             res_goal,

@@ -88,6 +88,11 @@ def main(argv=None):
         save_map_plot(blocked, os.path.join(args.out, "bool_map.png"))
 
     cfg = RunnerConfig(avg_speed=exp.avg_speed, gait=exp.gait)
+    if exp.swing_clearance > cfg.solver.swing_clearance:
+        # terrain-adaptive: only windows crossing a height discontinuity
+        # solve with the raised apex (see RunnerConfig.rough_clearance)
+        cfg.rough_clearance = exp.swing_clearance
+    cfg.rough_pace = exp.rough_pace
     if exp.dynamic_terrain:
         # exp_8: spawn a box obstacle mid-run (reference QTOS/simulation.py:
         # 102-115 update -> GEOM_BOX at (1.0 + idx, 0, 0.24)); the solver and

@@ -28,3 +28,43 @@ def test_solve_batch_collective_all_gather():
 def test_global_mesh_covers_all_devices():
     mesh = global_scenario_mesh()
     assert mesh.devices.size == len(jax.devices())
+
+
+def test_two_process_distributed_smoke():
+    """Real multi-process `jax.distributed` path (initialize_multihost):
+    two CPU processes join a local coordinator, build the global mesh, run
+    the collective solve, and each must see the full all-gathered status
+    vector.  This is the cross-host story the 8-virtual-device tests cannot
+    cover (they are single-process)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # pick a free port for the coordinator
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "helpers", "dist_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    # the workers must each see exactly their own single CPU device
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"DIST_OK pid={pid} gathered=[0, 0]" in out, out

@@ -36,6 +36,10 @@ def test_knot_system_matches_autodiff():
         is_last=(jnp.arange(17) == 16).astype(jnp.float32),
         terr_slack=jnp.zeros((17, 4)),
         box_widen=jnp.zeros((17, 4, 3)),
+        # zero (not the cumprod) so the slope rows stay ACTIVE at every
+        # stance knot — the autodiff-vs-analytic comparison must exercise
+        # them on this non-flat terrain
+        first_stance=jnp.zeros((17, 4)),
     )
     kfn = lambda xk, a: knot_residuals(xk, a, spec, TERR, CFG)
     for k in [0, 3, 8, 16]:
