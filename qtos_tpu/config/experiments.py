@@ -37,6 +37,9 @@ class ExperimentConfig:
     # pace 8 reaches the plateau with one reset; unpaced bounces off the
     # riser and falls within 4 windows).
     rough_pace: float = 0.0
+    # Named controller profile (control.loop.control_profile); "" = the
+    # per-gait default set.
+    control_profile: str = ""
     description: str = ""
 
 
@@ -73,7 +76,8 @@ EXPERIMENTS: dict[str, ExperimentConfig] = {
     # the reference likewise tunes solver duration/speed per experiment YAML.
     "exp_6": ExperimentConfig(
         "exp_6", ("stair", "stair_1", "stair_1", "plane"), (5.5, 0.0),
-        mesh_scale=2, sim_steps=21000, avg_speed=0.15, rough_pace=8.0,
+        mesh_scale=2, sim_steps=21000, avg_speed=0.15, rough_pace=12.0,
+        control_profile="stairs",
         description="staircases",
     ),
     # reference: experiment_7_climb_obstacle.yml (stairs, bridge).  Slow pace:
@@ -81,7 +85,8 @@ EXPERIMENTS: dict[str, ExperimentConfig] = {
     # the A* approach path bends between the stair bands.
     "exp_7": ExperimentConfig(
         "exp_7", ("stair", "bridge"), (2.4, 0.0), mesh_scale=2,
-        sim_steps=33000, avg_speed=0.15, rough_pace=8.0,
+        sim_steps=33000, avg_speed=0.15, rough_pace=12.0,
+        control_profile="stairs",
         description="climb onto a bridge obstacle",
     ),
     # reference: experiment_8_dynamic_terrain.yml (plane, obstacle, plane)

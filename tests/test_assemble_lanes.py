@@ -16,6 +16,11 @@ from qtos_tpu.solver.solve import _assemble
 from qtos_tpu.solver.transcription import initial_guess
 from qtos_tpu.terrain import make_terrain
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full lanes-vs-block consistency sweep (~200 s compile-bound)
+
+
 
 def test_assemble_lanes_matches_vmap():
     terrain = make_terrain(["step", "plane"])

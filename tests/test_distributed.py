@@ -8,6 +8,7 @@ from qtos_tpu.parallel.distributed import global_scenario_mesh, solve_batch_coll
 from qtos_tpu.parallel.mesh import make_mesh, shard_batch
 from qtos_tpu.solver import SolverConfig, default_spec
 from qtos_tpu.terrain import make_terrain
+import pytest
 
 
 def test_solve_batch_collective_all_gather():
@@ -30,6 +31,7 @@ def test_global_mesh_covers_all_devices():
     assert mesh.devices.size == len(jax.devices())
 
 
+@pytest.mark.slow  # spawns 2 fresh-compile processes; nightly
 def test_two_process_distributed_smoke():
     """Real multi-process `jax.distributed` path (initialize_multihost):
     two CPU processes join a local coordinator, build the global mesh, run

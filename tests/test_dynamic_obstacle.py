@@ -16,6 +16,11 @@ from qtos_tpu.solver import SolverConfig
 from qtos_tpu.terrain import make_terrain
 from qtos_tpu.terrain.heightfield import add_box_obstacle
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end dynamic-terrain replan runs
+
+
 
 def _cfg(**kw):
     base = dict(

@@ -13,6 +13,9 @@ from qtos_tpu.terrain import Terrain, height_at, make_terrain
 from qtos_tpu.terrain.heightfield import shift_terrain
 from qtos_tpu.utils.visual import VisualPlanner
 
+pytestmark = pytest.mark.slow  # renders + dynamic-terrain playbacks
+
+
 
 def test_shift_terrain_scrolls_and_fills():
     # reference step.txt: band at rows 13..19 (y in [0.3, 1.0]), all x

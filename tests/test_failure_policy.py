@@ -19,6 +19,9 @@ from qtos_tpu.control.replan import RecedingHorizonRunner, RunnerConfig
 from qtos_tpu.solver import SolverConfig
 from qtos_tpu.terrain import make_terrain
 
+pytestmark = pytest.mark.slow  # end-to-end failure-injection replan runs
+
+
 
 def _wall_world():
     terr = make_terrain(["plane", "wall", "plane"])

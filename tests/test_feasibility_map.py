@@ -19,6 +19,7 @@ from qtos_tpu.planner.feasibility import (
 )
 from qtos_tpu.solver import SolverConfig
 from qtos_tpu.terrain import make_terrain, tile
+import pytest
 
 
 def test_flat_ground_short_circuits():
@@ -54,6 +55,7 @@ def test_diamond_stamp_is_convex_hull_of_axis_points():
         assert any((offs == p).all(axis=1))
 
 
+@pytest.mark.slow  # full exp_3 map probe; nightly
 def test_exp3_map_blocks_pillars_and_keeps_corridor():
     terr = make_terrain(["feasibility", "plane"])
     m = feasibility_map(terr, cfg=SolverConfig(max_iters=25, tol=6e-3))

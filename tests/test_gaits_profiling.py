@@ -14,6 +14,11 @@ from qtos_tpu.solver.gait import (
 from qtos_tpu.solver.solve import solve
 from qtos_tpu.terrain import make_terrain
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-gait end-to-end playbacks
+
+
 
 def test_registry_names_and_shapes():
     for name in GAIT_REGISTRY:

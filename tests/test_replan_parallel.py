@@ -11,6 +11,9 @@ from qtos_tpu.parallel import make_mesh, shard_batch, solve_batch_sharded
 from qtos_tpu.solver import SolverConfig, default_spec
 from qtos_tpu.terrain import make_terrain
 
+pytestmark = pytest.mark.slow  # full receding-horizon runs
+
+
 
 def test_experiment_presets_complete():
     """All ten reference experiments + the -T test preset exist."""

@@ -19,6 +19,11 @@ from qtos_tpu.control.replan import RecedingHorizonRunner, RunnerConfig
 from qtos_tpu.solver import SolverConfig
 from qtos_tpu.terrain import make_terrain
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end watchdog/fall runs
+
+
 
 def _cfg(**kw):
     base = dict(

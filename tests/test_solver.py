@@ -77,6 +77,7 @@ def test_swing_feet_clear_ground():
         assert pz[mid_swing].min() > 0.015  # clears ground at mid-swing
 
 
+@pytest.mark.slow  # compile-bound (extra solver program variants); nightly
 def test_batch_matches_single():
     """vmapped batch solve is semantically equivalent to individual solves.
 
@@ -159,6 +160,7 @@ def test_reference_golden_csv_parses():
     assert 0.1 < t[:, 3].mean() < 0.4
 
 
+@pytest.mark.slow  # compile-bound (extra solver program variants); nightly
 def test_rescue_pass_improves_unconverged():
     """Two-pass rescue: a starved first pass (2 iters) leaves stragglers; the
     compacted warm-started rescue pass must converge them and only ever
@@ -179,6 +181,7 @@ def test_rescue_pass_improves_unconverged():
     np.testing.assert_array_equal(np.asarray(rescued.x)[ok], np.asarray(starved.x)[ok])
 
 
+@pytest.mark.slow  # compile-bound (extra solver program variants); nightly
 def test_rescue_noop_when_all_converged():
     B, K = 4, 13
     goals = jnp.linspace(0.1, 0.3, B)
