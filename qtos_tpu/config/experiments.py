@@ -40,6 +40,10 @@ class ExperimentConfig:
     # Named controller profile (control.loop.control_profile); "" = the
     # per-gait default set.
     control_profile: str = ""
+    # Ground friction coefficient for the sim, mirroring the reference's
+    # per-experiment `friction` key (data/config/experiment_*.yml: 1.0 for
+    # most, 2.0 on rough terrain, 0.99/0.90 on the stair/bridge climbs).
+    friction: float = 1.0
     description: str = ""
 
 
@@ -63,7 +67,8 @@ EXPERIMENTS: dict[str, ExperimentConfig] = {
     # reference: experiment_4_rough_terrain.yml (random_terrain x3, scale 5)
     "exp_4": ExperimentConfig(
         "exp_4", ("random_terrain_1", "random_terrain_1", "random_terrain_1"), (3.8, 0.0),
-        mesh_scale=2, sim_steps=60000, description="rough random terrain",
+        mesh_scale=2, sim_steps=60000, friction=2.0,
+        description="rough random terrain",
     ),
     # reference: experiment_5_extreme_climbing.yml (climb_2, climb_1, scale 11)
     "exp_5": ExperimentConfig(
@@ -77,7 +82,7 @@ EXPERIMENTS: dict[str, ExperimentConfig] = {
     "exp_6": ExperimentConfig(
         "exp_6", ("stair", "stair_1", "stair_1", "plane"), (5.5, 0.0),
         mesh_scale=2, sim_steps=21000, avg_speed=0.15, rough_pace=12.0,
-        control_profile="stairs",
+        control_profile="stairs", friction=0.99,
         description="staircases",
     ),
     # reference: experiment_7_climb_obstacle.yml (stairs, bridge).  Slow pace:
@@ -86,7 +91,7 @@ EXPERIMENTS: dict[str, ExperimentConfig] = {
     "exp_7": ExperimentConfig(
         "exp_7", ("stair", "bridge"), (2.4, 0.0), mesh_scale=2,
         sim_steps=33000, avg_speed=0.15, rough_pace=12.0,
-        control_profile="stairs",
+        control_profile="stairs", friction=0.90,
         description="climb onto a bridge obstacle",
     ),
     # reference: experiment_8_dynamic_terrain.yml (plane, obstacle, plane)

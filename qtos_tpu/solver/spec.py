@@ -80,7 +80,7 @@ class Weights:
     f_reg: float = 0.03
     footvel_reg: float = 0.5
     post_reg: float = 0.15      # keep feet near nominal under base
-    slope: float = 6.0          # stance feet off steep terrain (riser edges)
+    slope: float = 25.0         # stance feet off steep terrain (riser edges)
 
 
 @struct.dataclass
@@ -120,12 +120,16 @@ class SolverConfig:
     # slope_margin, probed with half-width slope_probe_d (see
     # terrain.heightfield.slope_at).  TOWR has no such term and IPOPT happily
     # plants feet mid-riser on a one-cell step face; in this stack those
-    # footholds exceed the friction cone in the soft-contact sim (45 deg
-    # ramp vs mu=0.7 -> 35 deg) and the foot slips, stalling the climb
-    # (measured on exp_6's 0.11 m riser).  The margin sits just below the
-    # friction-cone angle so walkable ramps (exp_2's 32 deg bands) are
-    # untouched.
-    slope_margin: float = 0.7
+    # footholds slip in the soft-contact sim and stall the climb (measured
+    # on exp_6's 0.11 m riser).  Margin calibration against the probed
+    # corridor slopes of the experiment tile set: exp_2's walkable bands
+    # read up to 1.53 and exp_4's rough bumps 0.89 (a 0.7 margin pushed
+    # feet off BOTH and regressed exp_2 from green to aborted); exp_6's
+    # riser faces read 1.7-1.8 and exp_7's bridge center 2.5-2.9 (the
+    # unwalkable faces).  1.6 splits the families; the weight is sized so
+    # the riser's (1.8 - 1.6) overshoot still pushes as hard as the old
+    # (1.8 - 0.7) * 6.
+    slope_margin: float = 1.6
     slope_probe_d: float = 0.06
     f_max: float = 30.0         # N, per-leg normal force cap
     rom_box: tuple = struct.field(pytree_node=False, default=(0.14, 0.08, 0.10))

@@ -102,6 +102,11 @@ def main(argv=None):
         from qtos_tpu.control.loop import control_profile
 
         cfg.control = control_profile(exp.control_profile)
+    if exp.friction != 1.0:
+        from qtos_tpu.control.loop import ControlParams, gait_control_params
+
+        base = cfg.control if cfg.control is not None else gait_control_params(exp.gait)
+        cfg.control = base.replace(sim=base.sim.replace(friction=exp.friction))
     if exp.dynamic_terrain:
         # exp_8: spawn a box obstacle mid-run (reference QTOS/simulation.py:
         # 102-115 update -> GEOM_BOX at (1.0 + idx, 0, 0.24)); the solver and

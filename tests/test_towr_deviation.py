@@ -100,3 +100,50 @@ def test_towr_schedule_extraction():
     prog = np.asarray(spec.schedule.swing_progress)
     assert prog.max() <= 1.0 and prog.min() >= 0.0
     assert (prog[c > 0.5] == 0).all()        # progress only defined in swing
+
+
+@pytest.mark.parametrize("tiles,start_x", [(("plane", "step_2"), 0.35), (("stair", "plane"), 0.55)])
+def test_nonflat_window_towr_schedule(tiles, start_x):
+    """Non-flat deviation evidence (the flat-only limitation acknowledged in
+    the module docstring): no non-flat golden TRAJECTORY exists, so the gate
+    is semantic — a window solved on the vendored reference tiles, under
+    TOWR's OWN contact schedule (extracted from the golden fz profile), must
+    satisfy every shared constraint family to the same tolerance the flat
+    windows are gated at (constraint violation < 1e-3, IPOPT's own converged
+    NLP error scale — towr_log.out:57-62)."""
+    import jax.numpy as jnp
+
+    from qtos_tpu.solver.solve import solve
+    from qtos_tpu.solver.spec import RobotState, SolverConfig
+    from qtos_tpu.terrain import make_terrain
+    from qtos_tpu.terrain.heightfield import height_at
+    from scripts.towr_deviation import towr_window
+
+    spec_flat, _ = towr_window(duration=2.5, K=41, row0=0)
+    terrain = make_terrain(list(tiles))
+
+    # Transplant TOWR's schedule onto a window crossing the tile's step:
+    # same start-state STRUCTURE (standing, feet in the schedule's head
+    # stance), start/goal re-seated on the non-flat surface.
+    start = RobotState.standing((start_x, 0.0), terrain=terrain)
+    adv = 0.35
+    gx = start_x + adv
+    gz = height_at(terrain, jnp.asarray(gx), jnp.asarray(0.0)) + 0.24
+    spec = spec_flat.replace(
+        start=start,
+        goal_r=jnp.array([gx, 0.0, 1.0]) * jnp.array([1.0, 1.0, float(gz)]),
+        goal_yaw=jnp.asarray(0.0),
+    )
+    res = solve(spec, terrain, SolverConfig(max_iters=120))
+    viol = {k: float(v) for k, v in res.viol.items()}
+    assert int(res.status) == 0, viol
+    for fam in ("dynamics", "terrain", "stationarity", "friction", "swing_force", "body"):
+        assert viol[fam] < 1e-3, (fam, viol)
+    # the trajectory really climbs/descends: stance feet track the non-flat
+    # surface, not a flat plane
+    import numpy as np
+
+    from qtos_tpu.solver.spec import unpack_state
+
+    pz = np.asarray(unpack_state(res.x)["p"][..., 2])
+    assert pz.max() - pz.min() > 0.03
