@@ -64,10 +64,17 @@ EXPERIMENTS: dict[str, ExperimentConfig] = {
         bool_map_search=True, sim_steps=61000,
         description="collision avoidance around pillars",
     ),
-    # reference: experiment_4_rough_terrain.yml (random_terrain x3, scale 5)
+    # reference: experiment_4_rough_terrain.yml (random_terrain x3, scale 5).
+    # friction: the reference YAML sets 2.0 (Bullet lateralFriction), but our
+    # penalty-contact stiction anchors are a different model — at mu=2.0 a
+    # misplaced foot on a bump face sticks hard and levers the body over
+    # (measured: 3-seed sweeps 0-1/3 reach the goal at 2.0; at 1.0 the foot
+    # slides to relief and the crossing is reliable).  Slow pace + the
+    # heavy-damping stairs profile for the 2-7 cm bump field.
     "exp_4": ExperimentConfig(
         "exp_4", ("random_terrain_1", "random_terrain_1", "random_terrain_1"), (3.8, 0.0),
-        mesh_scale=2, sim_steps=60000, friction=2.0,
+        mesh_scale=2, sim_steps=60000, friction=1.0, avg_speed=0.15,
+        control_profile="stairs",
         description="rough random terrain",
     ),
     # reference: experiment_5_extreme_climbing.yml (climb_2, climb_1, scale 11)
@@ -87,7 +94,14 @@ EXPERIMENTS: dict[str, ExperimentConfig] = {
     ),
     # reference: experiment_7_climb_obstacle.yml (stairs, bridge).  Slow pace:
     # the 0.25 m bridge climb is the hardest structure in the tile set and
-    # the A* approach path bends between the stair bands.
+    # the A* approach path bends between the stair bands.  KNOWN LIMITATION
+    # (round 5): the route must climb a 0.10 m platform edge right out of a
+    # turn, 0.15 m from the 0.25 m wall; 3-seed sweeps across 8 config
+    # families (trot/walk gaits, clearance 0.06-0.12, friction 0.90-1.0,
+    # pace 12-30, speeds 0.10-0.15) all end with the robot either cutting
+    # the curve onto the wall or overshooting north onto the stepped bands —
+    # the tracking controller's curve-following error (~±0.3 m) exceeds the
+    # corridor width.  The run aborts gracefully via the sim-health watchdog.
     "exp_7": ExperimentConfig(
         "exp_7", ("stair", "bridge"), (2.4, 0.0), mesh_scale=2,
         sim_steps=33000, avg_speed=0.15, rough_pace=12.0,

@@ -866,38 +866,25 @@ class RecedingHorizonRunner:
             if c.terrain_update is not None:
                 new_terrain = c.terrain_update(window, self.terrain)
                 if new_terrain is not self.terrain:
-                    old_terrain = self.terrain
                     self.terrain = new_terrain
                     self._global_replan(np.asarray(sim.pos)[:2], verbose)
-                    # The buffer tail was planned on the OLD world.  If the
-                    # change moved the ground under any upcoming planned
-                    # foothold (e.g. a box spawned on the path), executing it
-                    # walks the robot straight into the new geometry —
-                    # stance-hold at the measured state and replan from
-                    # reality instead.  Changes away from the plan (the
-                    # common shift_terrain case) skip the hold.
-                    ei, be = st["exec_idx"], self.buffer_end
-                    if be > ei:
-                        rows = self.host_buf.read(ei, be - ei)[::50]
-                        feet = rows[:, 7:19].reshape(-1, 3)
-                        # feet AND the CoM track: a body-width obstacle can
-                        # sit between the foot lines (exp_8's 0.2 m box:
-                        # feet straddle it, the base crosses it — checking
-                        # feet alone executed the old plan straight into it)
-                        pts = np.concatenate([feet[:, :2], rows[:, 1:3]])
-                        fx = jnp.asarray(pts[:, 0])
-                        fy = jnp.asarray(pts[:, 1])
-                        dh = jnp.max(jnp.abs(
-                            height_at(new_terrain, fx, fy)
-                            - height_at(old_terrain, fx, fy)))
-                        if float(dh) > 0.05:
-                            if verbose:
-                                print(f"[terrain changed] upcoming plan "
-                                      f"invalidated (dh={float(dh):.2f}) — "
-                                      "holding stance, replanning from reality")
-                            self._reality_reset(sim)
-                            st["stance_holds"] += 1
-                            st["planning_done"] = False
+                    # The buffer tail was planned on the OLD world and the
+                    # OLD spine.  Executing it mid-gait while the next
+                    # windows start chasing the replanned spine stitches two
+                    # disagreeing plans (measured on exp_8: the robot
+                    # tumbled two windows after a no-hold spawn replan,
+                    # tracking the heading kink at the junction) — and if
+                    # the change moved the ground under an upcoming foothold
+                    # (a box spawned on the path) the old rows walk straight
+                    # into the new geometry.  Stance-hold at the measured
+                    # state and replan from reality unconditionally: the
+                    # hold is a known-stable state and costs ~2.5 s.
+                    if verbose:
+                        print("[terrain changed] holding stance, "
+                              "replanning from reality onto the new spine")
+                    self._reality_reset(sim)
+                    st["stance_holds"] += 1
+                    st["planning_done"] = False
             # long runs (exp_9: ~52k rows + stance holds) would overrun the
             # fixed-capacity buffer — drop already-executed rows when the
             # tail nears capacity (archived for the end-of-run report)
