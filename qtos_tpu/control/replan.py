@@ -27,6 +27,7 @@ failed windows.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -518,6 +519,21 @@ class RecedingHorizonRunner:
             fams = {k: float(np.asarray(v)[best]) for k, v in res.viol.items()}
             top = sorted(fams, key=fams.get, reverse=True)[:3]
             self.last_fail_viol = {k: fams[k] for k in top}
+            # Failure forensics: dump the plan inputs of an unusable window so
+            # the exact failing NLP can be re-solved and inspected offline
+            # (QTOS's analog is reading the IPOPT log after a bad returncode;
+            # here the problem is data, so we keep the data).
+            try:
+                np.savez(
+                    os.path.join("logs", "failed_window.npz"),
+                    rows=np.asarray(p["rows"]), goals=np.asarray(p["goals"]),
+                    gyaws=np.asarray(p["gyaws"]), t_paths=np.asarray(p["t_paths"]),
+                    drift3=np.asarray(p["drift3"]), dyaw=np.asarray(p["dyaw"]),
+                    status=status, viol=viol,
+                    **{f"viol_{k}": np.asarray(v) for k, v in res.viol.items()},
+                )
+            except OSError:
+                pass
             at = ats[0]
             row0 = np.asarray(p["rows"][0]).copy()
             d3 = np.asarray(p["drift3"])

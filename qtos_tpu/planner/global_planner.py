@@ -38,7 +38,7 @@ class GlobalPlanner:
         goal_xy,
         avg_speed: float = 0.24,
         blocked: np.ndarray | None = None,
-        safety_margin_m: float = 0.15,
+        safety_margin_m: float = 0.30,
     ):
         self.terrain = terrain
         self.avg_speed = float(avg_speed)
@@ -54,11 +54,15 @@ class GlobalPlanner:
             use_native = False
         search = native_astar if use_native else astar
 
-        # Obstacle inflation in METERS (≈ half a body width plus tracking
-        # wobble), converted to cells at the map's resolution: a cell count
-        # silently halves the clearance on mesh_scale=2 maps (measured:
-        # exp_7's spine passed 5 cm from the 0.25 m bridge wall and the
-        # robot clipped it; a 1-m pillar clip tumbled exp_8).  If the full
+        # Obstacle inflation in METERS, converted to cells at the map's
+        # resolution (a cell count silently halves the clearance on
+        # mesh_scale=2 maps).  The margin must clear the FOOT LINES, not
+        # just the base: footholds land ±0.19 m lateral of the spine (the
+        # stance width) plus tracking wobble — at 0.15 m the exp_8 spine
+        # passed the 1 m pillar close enough that the left-front foothold
+        # had to land ON it, making every window NLP near the pillar
+        # unsolvable (forensics: logs/failed_window.npz, goal+stationarity
+        # families stuck at 0.03-0.07 on CPU and TPU alike).  If the full
         # margin seals the corridor shut, retry at smaller margins — a tight
         # path beats no path (the reference has no inflation at all).
         want = max(1, int(round(safety_margin_m / terrain.resolution)))
