@@ -20,6 +20,7 @@ def astar(
     start: tuple[int, int],
     goal: tuple[int, int],
     diagonal: bool = True,
+    cost: np.ndarray | None = None,
 ) -> np.ndarray | None:
     """A* over a (H, W) obstacle grid (1 = blocked).
 
@@ -27,6 +28,12 @@ def astar(
       blocked: obstacle grid, rows = y, cols = x.
       start, goal: (row, col) cells.
       diagonal: allow 8-connectivity.
+      cost: optional (H, W) per-cell soft penalty added on entering a cell.
+        A pure-distance cost makes every path hug the inflated obstacle
+        boundary (ties broken toward the obstacle); a small penalty that
+        decays with distance from blocked cells centers the route in
+        corridors instead.  Must be >= 0; the heuristic stays admissible
+        because penalties only add cost.
 
     Returns:
       (N, 2) array of (row, col) waypoints including endpoints, or None if
@@ -75,7 +82,7 @@ def astar(
             # forbid diagonal corner-cutting through blocked cells
             if dr and dc and (blocked[cur[0] + dr, cur[1]] or blocked[cur[0], cur[1] + dc]):
                 continue
-            ng = g + w
+            ng = g + w + (float(cost[nxt]) if cost is not None else 0.0)
             if ng < g_cost.get(nxt, np.inf):
                 g_cost[nxt] = ng
                 came[nxt] = cur

@@ -62,14 +62,70 @@ class GlobalPlanner:
         # passed the 1 m pillar close enough that the left-front foothold
         # had to land ON it, making every window NLP near the pillar
         # unsolvable (forensics: logs/failed_window.npz, goal+stationarity
-        # families stuck at 0.03-0.07 on CPU and TPU alike).  If the full
-        # margin seals the corridor shut, retry at smaller margins — a tight
-        # path beats no path (the reference has no inflation at all).
+        # families stuck at 0.03-0.07 on CPU and TPU alike).
+        #
+        # The margin is TAPERED near the endpoints: a start or goal that
+        # legitimately sits close to geometry (exp_7's goal is 0.3 m past the
+        # climb wall; an exp_8 mid-run replan starts wherever the robot
+        # stands when the box spawns) would otherwise be swallowed by its own
+        # inflation, and the old remedy — shrinking the margin GLOBALLY until
+        # the endpoint frees up — collapsed the clearance everywhere, so the
+        # spine hugged the wall for its whole length instead of only at the
+        # unavoidable final approach.  If even the tapered map has no path
+        # (corridor genuinely sealed), retry at smaller global margins — a
+        # tight path beats no path (the reference has no inflation at all).
         want = max(1, int(round(safety_margin_m / terrain.resolution)))
+        H, W = raw_blocked.shape
+        # The start cell is where the robot ACTUALLY STANDS — traversable by
+        # definition, even when the traversability test smears a neighboring
+        # box face over it (a mid-run replan right next to a spawned box
+        # would otherwise find A*'s start raw-blocked and fail outright).
+        raw_blocked = raw_blocked.copy()
+        raw_blocked[self._to_cell(start_xy)] = False
+        # dist[c] = dilation round at which c becomes blocked (0 = raw
+        # obstacle, inf = farther than `want` rounds) — a bounded
+        # 4-connected distance transform matching _inflate's growth
+        halo = 4  # soft-penalty band beyond the hard margin, in cells
+        dist = np.where(raw_blocked, 0.0, np.inf)
+        cur = raw_blocked.copy()
+        for k in range(1, want + halo + 1):
+            nxt = self._inflate(cur, 1)
+            dist[nxt & ~cur] = k
+            cur = nxt
+        rr, cc = np.mgrid[0:H, 0:W]
+        s_cell = self._to_cell(start_xy)
+        g_cell = self._to_cell(goal_xy)
+        d_end = np.minimum(
+            np.abs(rr - s_cell[0]) + np.abs(cc - s_cell[1]),
+            np.abs(rr - g_cell[0]) + np.abs(cc - g_cell[1]),
+        )
+        # Soft proximity penalty: pure-distance A* breaks ties TOWARD the
+        # obstacle, so the spine grazes the inflated boundary for its whole
+        # length — and the tracking controller's few-cm corner-cutting then
+        # walks the robot onto the geometry (measured on exp_7: the
+        # boundary-hugging crossing straddled the 0.15/0.1 ledge seam and
+        # the descent tripped the fall watchdog).  A small cost that decays
+        # over `halo` cells past the hard margin centers the route in
+        # corridors while still letting it thread genuinely tight gaps.
+        soft = np.where(np.isfinite(dist), np.maximum(0.0, want + halo - dist), 0.0)
+        soft *= 0.5 / halo  # worst extra cost ~0.5 step per cell walked
         cells = None
         for margin in range(want, 0, -1):
-            self.blocked = self._inflate(raw_blocked, margin)
-            cells = search(self.blocked, self._to_cell(start_xy), self._to_cell(goal_xy))
+            # at the endpoint cells themselves only raw geometry blocks
+            # (dist 0 <= allowed 0): a robot standing one cell from a
+            # just-spawned box must still be able to path out of the pocket
+            allowed = np.minimum(margin, np.maximum(0, d_end - 1))
+            self.blocked = dist <= allowed
+            if soft.any():
+                # weighted search is python-only; the grid is tiny (ms)
+                cells = astar(
+                    self.blocked, self._to_cell(start_xy),
+                    self._to_cell(goal_xy), cost=soft,
+                )
+            else:
+                cells = search(
+                    self.blocked, self._to_cell(start_xy), self._to_cell(goal_xy)
+                )
             if cells is not None:
                 break
         if cells is None:

@@ -95,3 +95,25 @@ def test_save_plot(tmp_path):
     import os
 
     assert os.path.getsize(p) > 1000
+
+
+def test_margin_tapers_at_endpoints_not_globally():
+    """An endpoint close to geometry must not collapse the inflation margin
+    everywhere (the round-4 exp_7/exp_8 failure mode): far from the
+    endpoints the spine keeps the full safety margin, while the unavoidable
+    final approach threads a tapered pocket."""
+    from qtos_tpu.terrain.heightfield import add_box_obstacle
+
+    terr = make_terrain(["plane", "plane"])
+    terr = add_box_obstacle(terr, 1.0, 0.0, half=0.1, height=0.5)
+
+    # endpoints right next to the box: a path must still exist (detour)
+    gp = GlobalPlanner(terr, (0.65, 0.0), (1.35, 0.0))
+    assert gp.path_length > 1.0  # went around, not through
+
+    # distant transit: full margin held where no endpoint forces a taper
+    gp2 = GlobalPlanner(terr, (-0.5, 0.0), (2.5, 0.0))
+    ts = np.linspace(0.0, gp2.total_time, 300)
+    near_box = [abs(gp2._point_np(t)[1]) for t in ts
+                if 0.7 < gp2._point_np(t)[0] < 1.3]
+    assert max(near_box) > 0.25, "margin collapsed to a wall-hugging spine"
